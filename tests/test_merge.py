@@ -1,0 +1,151 @@
+"""MERGE semantics: upsert, stale no-op, delete tombstones, re-insert,
+epoch fencing, schema evolution through merge, lineage records."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, CDC_SCHEMA_V2, TARGET_SCHEMA
+from tickers_daily_intraday_etl_spark.lake import LakeTable
+
+
+def _ev(op, doc, lsn, ts_s=0, tokens=None, source="s", **extra):
+    base = dict(
+        op=op,
+        doc_id=doc,
+        lsn=lsn,
+        commit_ts=dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=ts_s),
+        tokens=tokens,
+        n_tok=None if tokens is None else len(tokens),
+        source=source,
+    )
+    base.update(extra)
+    return Row(**base)
+
+
+def _table(spark, tmpdir_path, **kw):
+    kw.setdefault("num_buckets", 4)
+    return LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, **kw
+    )
+
+
+def _state(table):
+    return {r.doc_id: r.tokens for r in table.read().collect()}
+
+
+def test_insert_then_update(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    b1 = spark.createDataFrame([_ev("I", "a", 1, tokens=[1]), _ev("I", "b", 2, tokens=[2])], CDC_SCHEMA)
+    merge_into(t, b1, batch_id=0)
+    assert _state(t) == {"a": [1], "b": [2]}
+    b2 = spark.createDataFrame([_ev("U", "a", 3, ts_s=1, tokens=[9, 9])], CDC_SCHEMA)
+    merge_into(t, b2, batch_id=1)
+    assert _state(t) == {"a": [9, 9], "b": [2]}
+
+
+def test_stale_update_is_noop(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame([_ev("I", "a", 10, tokens=[10])], CDC_SCHEMA), batch_id=0)
+    merge_into(t, spark.createDataFrame([_ev("U", "a", 5, ts_s=1, tokens=[5])], CDC_SCHEMA), batch_id=1)
+    assert _state(t) == {"a": [10]}
+
+
+def test_delete_and_stale_update_after_delete(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA), batch_id=0)
+    merge_into(t, spark.createDataFrame([_ev("D", "a", 10, ts_s=1)], CDC_SCHEMA), batch_id=1)
+    assert _state(t) == {}
+    # stale update (lsn 5 < delete lsn 10) must lose to the tombstone
+    merge_into(t, spark.createDataFrame([_ev("U", "a", 5, ts_s=2, tokens=[5])], CDC_SCHEMA), batch_id=2)
+    assert _state(t) == {}
+    # re-insert with higher lsn resurrects
+    merge_into(t, spark.createDataFrame([_ev("I", "a", 11, ts_s=3, tokens=[7])], CDC_SCHEMA), batch_id=3)
+    assert _state(t) == {"a": [7]}
+
+
+def test_delete_of_absent_key_inserts_tombstone(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame([_ev("D", "ghost", 10)], CDC_SCHEMA), batch_id=0)
+    assert _state(t) == {}
+    merge_into(t, spark.createDataFrame([_ev("U", "ghost", 4, ts_s=1, tokens=[4])], CDC_SCHEMA), batch_id=1)
+    assert _state(t) == {}  # stale vs tombstone
+
+
+def test_epoch_fence_skips_replayed_batch(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    b = spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA)
+    m1 = merge_into(t, b, batch_id=7)
+    v_after = t.log.latest_version()
+    m2 = merge_into(t, b, batch_id=7)  # replay of the same epoch
+    assert m1["skipped"] is False
+    assert m2["skipped"] is True
+    assert t.log.latest_version() == v_after
+    assert _state(t) == {"a": [1]}
+
+
+def test_merge_schema_evolution(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA), batch_id=0)
+    evolved = spark.createDataFrame(
+        [_ev("I", "b", 2, ts_s=1, tokens=[2], source_version=3)], CDC_SCHEMA_V2
+    )
+    merge_into(t, evolved, batch_id=1)
+    out = {r.doc_id: r for r in t.read().collect()}
+    assert out["a"].source_version is None
+    assert out["b"].source_version == 3
+    # update of pre-evolution row carries the new column
+    merge_into(
+        t,
+        spark.createDataFrame([_ev("U", "a", 3, ts_s=2, tokens=[8], source_version=4)], CDC_SCHEMA_V2),
+        batch_id=2,
+    )
+    out = {r.doc_id: r for r in t.read().collect()}
+    assert out["a"].tokens == [8] and out["a"].source_version == 4
+
+
+def test_bucket_pruning_leaves_other_buckets_untouched(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path, num_buckets=8)
+    rows = [_ev("I", f"d{i}", i + 1, ts_s=i, tokens=[i]) for i in range(32)]
+    merge_into(t, spark.createDataFrame(rows, CDC_SCHEMA), batch_id=0)
+    snap0 = t.log.snapshot()
+    files_before = dict(snap0.live_files)
+    # single-key update touches exactly one bucket
+    m = merge_into(
+        t, spark.createDataFrame([_ev("U", "d0", 100, ts_s=99, tokens=[99])], CDC_SCHEMA), batch_id=1
+    )
+    assert len(m["affected_buckets"]) == 1
+    b = m["affected_buckets"][0]
+    snap1 = t.log.snapshot()
+    untouched_before = {p for p, a in files_before.items() if a["bucket"] != b}
+    untouched_after = {p for p, a in snap1.live_files.items() if a["bucket"] != b}
+    assert untouched_before == untouched_after
+    assert _state(t)["d0"] == [99]
+
+
+def test_lineage_manifest_recorded(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    m = merge_into(
+        t,
+        spark.createDataFrame(
+            [_ev("I", "a", 1, tokens=[1]), _ev("U", "a", 2, ts_s=1, tokens=[2]), _ev("D", "b", 3, ts_s=2)],
+            CDC_SCHEMA,
+        ),
+        batch_id=0,
+    )
+    assert m["rows_in"] == 3
+    assert m["op_counts"] == {"I": 1, "U": 1, "D": 1}
+    assert m["rows_after"]  # per-bucket counts present
+    entry = t.log.read_entry(m["version"])
+    assert entry.manifest["batch_id"] == 0
+
+
+def test_empty_batch_records_epoch(spark, tmpdir_path):
+    t = _table(spark, tmpdir_path)
+    empty = spark.createDataFrame([], CDC_SCHEMA)
+    m = merge_into(t, empty, batch_id=5)
+    assert m["rows_in"] == 0
+    assert 5 in t.committed_batch_ids()

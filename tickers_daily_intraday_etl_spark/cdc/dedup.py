@@ -1,0 +1,63 @@
+"""Last-writer-wins dedup by (key, lsn) with deterministic total order.
+
+Generalizes the reference's per-key high-water-mark filter
+(reference: staging/transform_staging_data.py:47-62 — grouped max +
+left join + strict ``>``): within a batch, exactly one event per key
+survives — the one with the greatest ``(lsn, commit_ts, payload
+fingerprint)``.  The fingerprint tiebreak makes the order *total*, so a
+replay from any checkpoint picks identical winners (the north rule's
+byte-equality requirement).
+
+Scale notes:
+* Implemented as an aggregation, **not** a window: ``max`` over the
+  ordering struct gets map-side partial aggregation for free, so a hot
+  key contributes at most one row per input partition to the shuffle.
+* An optional explicit two-phase salt (``groupBy(key, salt)`` then
+  ``groupBy(key)``) guards the pathological case where a single key
+  dominates entire input partitions — the reduce fan-in per key drops
+  from #input-partitions to #salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ORD = "__ord"
+_ROW = "__row"
+
+
+def _ordering_struct(df: DataFrame, lsn_col: str, commit_ts_col: str) -> F.Column:
+    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    return F.struct(
+        F.col(lsn_col).alias("lsn"),
+        F.col(commit_ts_col).alias("ts"),
+        fingerprint.alias("fp"),
+    )
+
+
+def lww_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "lsn",
+    commit_ts_col: str = "commit_ts",
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Keep exactly one row per key: the last writer in
+    (lsn, commit_ts, fingerprint) order.  Deterministic & total."""
+    cols = df.columns
+    packed = df.select(
+        F.col(key_col).alias("__key"),
+        _ordering_struct(df, lsn_col, commit_ts_col).alias(_ORD),
+        F.struct(*[F.col(c) for c in cols]).alias(_ROW),
+    )
+    winner = F.max(F.struct(F.col(_ORD), F.col(_ROW))).alias("__win")
+    if salt_partitions and salt_partitions > 1:
+        salted = packed.withColumn(
+            "__salt", F.pmod(F.col(_ORD)["fp"], F.lit(salt_partitions)).cast("int")
+        )
+        partial = salted.groupBy("__key", "__salt").agg(winner)
+        final = partial.groupBy("__key").agg(F.max(F.col("__win")).alias("__win"))
+    else:
+        final = packed.groupBy("__key").agg(winner)
+    return final.select(*[F.col(f"__win.{_ROW}.{c}").alias(c) for c in cols])

@@ -1,0 +1,149 @@
+"""MERGE a change batch into a LakeTable (key-partitioned upsert).
+
+Collapses the reference's 4-statement SCD/upsert dance (temp table ->
+retire -> touch -> insert, reference: analytics/etl_dim_analytics.py:142-211)
+and its watermark filter (staging/transform_staging_data.py:47-62) into one
+copy-on-write MERGE with these semantics:
+
+* source.lsn >  target.lsn  -> update (or tombstone, for op='D')
+* source.lsn <= target.lsn  -> no-op (stale change, late arrival)
+* key absent in target      -> insert (op='D' inserts a tombstone so a
+  later-arriving stale update still loses — replay equality demands it)
+
+Physical plan (scale-first):
+1. LWW-dedup the batch (1 shuffle, map-side combined, optionally salted).
+2. Prune the target to the key-buckets present in the batch — at 100 TB
+   a batch touching 1% of buckets reads/writes 1% of the table.
+3. Union pruned-target rows with batch rows and take the max of the
+   ordering struct per key (1 shuffle, map-side combined) — no join.
+4. Rewrite only the affected buckets; commit atomically with the batch's
+   manifest (epoch fence) and per-bucket lineage records.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tickers_daily_intraday_etl_spark.cdc import schemas as S
+from tickers_daily_intraday_etl_spark.cdc.dedup import lww_dedup
+from tickers_daily_intraday_etl_spark.lake.table import (
+    BUCKET_COL,
+    COMMIT_TS_COL,
+    DELETED_COL,
+    LSN_COL,
+    LakeTable,
+    align_to_schema,
+    merge_schemas,
+)
+
+
+def _to_stored_rows(changes: DataFrame, stored_schema: T.StructType) -> DataFrame:
+    """Project change events onto the table's stored layout:
+    payload columns + (_lsn, _commit_ts, _deleted)."""
+    src = changes.select(
+        *[F.col(f.name) for f in S.payload_fields(changes.schema)],
+        F.col(S.LSN_SRC_COL).alias(LSN_COL),
+        F.col(S.COMMIT_TS_SRC_COL).alias(COMMIT_TS_COL),
+        (F.col(S.OP_COL) == F.lit("D")).alias(DELETED_COL),
+    )
+    return align_to_schema(src, stored_schema)
+
+
+def merge_into(
+    table: LakeTable,
+    changes: DataFrame,
+    batch_id: Any,
+    salt_partitions: int = 0,
+    extra_manifest: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Apply one change batch exactly-once. Returns the lineage manifest.
+
+    Epoch fencing: a batch_id already present in the commit log is a
+    replay (foreachBatch retry after failure, resume overlap) — skipped
+    without touching data, which is what makes re-runs idempotent
+    (the guard the reference lacks at staging/load_staging_data.py:41).
+    """
+    if batch_id is not None and batch_id in table.committed_batch_ids():
+        return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
+
+    spark = table.spark
+    key = table.key_col
+
+    # -- 1. batch-local LWW dedup + batch stats (tiny aggregations)
+    deduped = lww_dedup(
+        changes,
+        key_col=key,
+        lsn_col=S.LSN_SRC_COL,
+        commit_ts_col=S.COMMIT_TS_SRC_COL,
+        salt_partitions=salt_partitions,
+    )
+    op_counts = {r[S.OP_COL]: r["n"] for r in changes.groupBy(S.OP_COL).agg(F.count("*").alias("n")).collect()}
+    rows_in = sum(op_counts.values())
+    if rows_in == 0:
+        # Conditional-skip sink (reference: staging/load_staging_data.py:38-48)
+        # — still record the epoch so the fence holds.
+        version = table._commit([], [], table.stored_schema(), {"batch_id": batch_id, "rows_in": 0})
+        return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
+
+    # -- 2. schema evolution: merge batch payload schema into the table's
+    current = table.stored_schema()
+    incoming = T.StructType(S.payload_fields(changes.schema))
+    evolved = merge_schemas(current, incoming)
+
+    src = _to_stored_rows(deduped, evolved).withColumn(BUCKET_COL, table.bucket_expr())
+
+    # -- 3. bucket pruning: only the buckets the batch touches
+    affected = sorted(r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect())
+    snap = table.log.snapshot()
+    old_adds = [a for a in snap.live_files.values() if a["bucket"] in set(affected)]
+    target = table.read_raw(buckets=affected)
+    target = align_to_schema(target, evolved).withColumn(BUCKET_COL, table.bucket_expr())
+
+    # -- 4. union + LWW winner per key (single shuffle, no join)
+    cols = [f.name for f in evolved.fields] + [BUCKET_COL]
+    unioned = target.select(*cols).unionByName(src.select(*cols))
+    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    ord_struct = F.struct(
+        F.col(LSN_COL).alias("lsn"),
+        F.col(COMMIT_TS_COL).alias("ts"),
+        fingerprint.alias("fp"),
+    )
+    packed = unioned.select(
+        F.col(key).alias("__key"),
+        F.struct(ord_struct.alias("o"), F.struct(*[F.col(c) for c in cols]).alias("r")).alias("__p"),
+    )
+    merged = (
+        packed.groupBy("__key")
+        .agg(F.max("__p").alias("__win"))
+        .select(*[F.col(f"__win.r.{c}").alias(c) for c in cols])
+    )
+
+    # -- 5. rewrite affected buckets; atomic commit with manifest
+    new_adds = table._write_data(merged, len(affected))
+    lineage = {
+        "batch_id": batch_id,
+        "rows_in": rows_in,
+        "rows_deduped": None,  # filled by callers that want the extra pass
+        "op_counts": op_counts,
+        "affected_buckets": affected,
+        "rows_before": {str(a["bucket"]): 0 for a in old_adds},
+        "rows_after": {},
+        "files_removed": len(old_adds),
+        "files_added": len(new_adds),
+    }
+    for a in old_adds:
+        b = str(a["bucket"])
+        lineage["rows_before"][b] = lineage["rows_before"].get(b, 0) + a["rows"]
+    for a in new_adds:
+        b = str(a["bucket"])
+        lineage["rows_after"][b] = lineage["rows_after"].get(b, 0) + a["rows"]
+    if extra_manifest:
+        lineage.update(extra_manifest)
+    version = table._commit(new_adds, [a["path"] for a in old_adds], evolved, lineage)
+    lineage["version"] = version
+    lineage["skipped"] = False
+    return lineage

@@ -1,0 +1,97 @@
+"""Structured Streaming CDC pipeline: binlog tail -> lake upsert.
+
+Replaces the reference's daily cron poll + watermark diff loop
+(reference: dags/etl_dag.py:27 schedule, staging/transform_staging_data.py:47-62
+incremental filter) with a real stream:
+
+    readStream(file source over the binlog segment directory)
+      -> foreachBatch(batch_id, df):
+           epoch fence (commit manifest)  -> skip replayed batches
+           LWW dedup -> bucket-pruned MERGE -> atomic commit w/ lineage
+
+Exactly-once: Spark's checkpoint gives at-least-once delivery of each
+micro-batch to foreachBatch; the commit manifest (batch_id recorded in
+the same atomic log commit as the data files) downgrades duplicates to
+no-ops.  Killing the query and restarting from the same checkpoint —or
+replaying from scratch with a fresh checkpoint— converges to the same
+final table state (tested against the replay oracle).
+
+`compact` vs `full` API fetch in the reference
+(staging/extract_staging_data.py:47-53) maps to resume-from-checkpoint
+vs full replay here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA
+from tickers_daily_intraday_etl_spark.lake.table import LakeTable
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        table_path: str,
+        checkpoint_dir: str,
+        feed_schema: T.StructType = CDC_SCHEMA,
+        target_schema: T.StructType | None = None,
+        key_col: str = "doc_id",
+        num_buckets: int = 16,
+        salt_partitions: int = 0,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.feed_schema = feed_schema
+        self.salt_partitions = salt_partitions
+        self.max_files_per_trigger = max_files_per_trigger
+        from tickers_daily_intraday_etl_spark.cdc import schemas as S
+
+        if target_schema is None:
+            target_schema = T.StructType(S.payload_fields(feed_schema))
+        self.table = LakeTable.create_if_not_exists(
+            spark, table_path, target_schema, key_col=key_col, num_buckets=num_buckets
+        )
+        self.lineage: list[dict[str, Any]] = []  # this process's applied batches
+
+    def _apply_batch(self, batch_df, batch_id: int) -> None:
+        manifest = merge_into(
+            self.table,
+            batch_df,
+            batch_id=batch_id,
+            salt_partitions=self.salt_partitions,
+        )
+        self.lineage.append(manifest)
+
+    def run_available_now(self) -> list[dict[str, Any]]:
+        """Drain everything currently in the feed dir, then stop.
+        Resumable: a later call picks up only new segments (checkpoint)."""
+        reader = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger or 1))
+            .parquet(self.feed_dir)
+        )
+        query = (
+            reader.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return self.lineage
+
+    def reset_checkpoint(self) -> None:
+        """Full replay = fresh checkpoint (reference's `full` fetch mode)."""
+        import shutil
+
+        if os.path.exists(self.checkpoint_dir):
+            shutil.rmtree(self.checkpoint_dir)
