@@ -1,0 +1,180 @@
+"""Training-data functions: text analysis, dedup families, similarity,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tickers_daily_intraday_etl_spark.functions import dedupe, similarity, text
+from tickers_daily_intraday_etl_spark.functions import multimodal
+
+
+# ---------------------------------------------------------------------- text
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(t="hello  world foo"), Row(t="  "), Row(t="a b!c 12")])
+    out = df.select(
+        text.ws_token_count(F.col("t")).alias("ws"),
+        text.bpe_token_estimate(F.col("t")).alias("bpe"),
+    ).collect()
+    assert [r.ws for r in out] == [3, 0, 3]
+    # "a b!c 12" -> a, b, !, c, 1, 2
+    assert out[2].bpe == 6
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat and the dog of the house"),
+         Row(t="el perro y la casa de que"),
+         Row(t="xyzzy plugh")]
+    )
+    out = [r.l for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_quality_score_range_and_order(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="the quick brown fox jumps over a lazy dog in the sun"),
+         Row(id=2, t="!!! ??? ### $$$ %%%")]
+    )
+    out = {r.id: r.q for r in df.select("id", text.quality_score(F.col("t")).alias("q")).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= out[1] <= 1.0
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame([Row(t="Hello   World"), Row(t="hello world "), Row(t="other")])
+    md5s = [r.f for r in df.select(text.fingerprint_md5(F.col("t")).alias("f")).collect()]
+    rolls = [r.f for r in df.select(text.rolling_fingerprint(F.col("t")).alias("f")).collect()]
+    assert md5s[0] == md5s[1] != md5s[2]
+    assert rolls[0] == rolls[1] != rolls[2]
+
+
+def test_hex_hash64_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([Row(x="alpha"), Row(x="beta")])
+    got = {r.x: r.h for r in df.select("x", text.hex_hash64(F.col("x"), seed=3).alias("h")).collect()}
+    for x, h in got.items():
+        (exp,) = duckdb.sql(
+            f"select ('0x' || substr(md5('3:{x}'), 1, 15))::BIGINT"
+        ).fetchone()
+        assert h == exp, x
+
+
+# --------------------------------------------------------------------- dedup
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, t="Same  Text"), Row(doc_id=2, t="same text"),
+         Row(doc_id=3, t="unique here")]
+    )
+    out = dedupe.exact_dup_groups(df, "t", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].canonical_id == 1
+    kept = dedupe.distinct_by_text(df, "t", "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    out = df.select(dedupe.word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    assert sorted(out) == ["a b c", "b c d"]
+    short = spark.createDataFrame([Row(t="a b")])
+    assert short.select(dedupe.word_shingles(F.col("t"), 3).alias("s")).collect()[0].s == []
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    far = "completely different content about spark shuffles and parquet files here"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, t=base), Row(doc_id=2, t=near), Row(doc_id=3, t=far),
+         Row(doc_id=4, t=base)]  # exact dup of 1
+    )
+    sigs = dedupe.minhash_signatures(df, "t", "doc_id", n_hashes=8)
+    pairs = {(r.id_a, r.id_b) for r in dedupe.lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()}
+    assert (1, 4) in pairs            # identical docs always collide
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup shares bands w.h.p.
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, t="a b c d"), Row(doc_id=2, t="a b c e"), Row(doc_id=3, t="x y z w")]
+    )
+    # shingles k=2: d1={ab,bc,cd}, d2={ab,bc,ce} -> inter 2, union 4 -> 0.5
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedupe.ngram_jaccard_pairs(df, "t", "doc_id", shingle_k=2, threshold=0.1).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_simhash_near_pairs(spark):
+    base = "spark streaming merge upsert lake table commit manifest lineage tokens"
+    near = base.replace("tokens", "token")
+    far = "zzz qqq www eee rrr ttt yyy uuu iii ooo"
+    df = spark.createDataFrame([Row(doc_id=1, t=base), Row(doc_id=2, t=near), Row(doc_id=3, t=far)])
+    sig = dedupe.simhash(df, "t", "doc_id", bits=32)
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    assert all(0 <= v < (1 << 32) for v in vals.values())
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedupe.simhash_near_pairs(sig, "doc_id", max_hamming=7, bits=32).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_brute_force(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append(Row(vec_id=9, embedding=[0.9, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows)
+    out = similarity.cosine_topk_to_query(df, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [0, 9]
+    assert out[0].cos_sim == pytest.approx(1.0)
+
+
+def test_ann_bucketed_pairs_finds_duplicate_vectors(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 8)).tolist()
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append(Row(vec_id=100, embedding=[float(x) for x in vecs[0]]))  # exact dup of 0
+    df = spark.createDataFrame(rows)
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.ann_bucketed_pairs(df, "embedding", "vec_id", n_planes=6, threshold=0.99).collect()}
+    assert (0, 100) in pairs
+
+
+def test_ivf_probe_subset_of_bruteforce(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((30, 8))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    centroids = vecs[:4].tolist()
+    query = vecs[5].tolist()
+    ivf = similarity.ivf_topk_to_query(df, "embedding", "vec_id", query, centroids, k=5, n_probe=4)
+    brute = similarity.cosine_topk_to_query(df, "embedding", "vec_id", query, k=5)
+    # probing ALL lists == brute force (recall 1.0 when n_probe = n_centroids)
+    assert [r.vec_id for r in ivf.collect()] == [r.vec_id for r in brute.collect()]
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_feature_extract_deterministic(spark):
+    df = multimodal.synthetic_media(spark, n=12)
+    out1 = multimodal.extract_features(df).orderBy("media_id").collect()
+    out2 = multimodal.extract_features(df).orderBy("media_id").collect()
+    assert [r.features for r in out1] == [r.features for r in out2]
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in out1)
+    assert all(abs(sum(r.features) - 1.0) < 1e-5 for r in out1)  # histogram sums to 1
+
+
+def test_multimodal_real_backend_is_stubbed(spark):
+    df = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        multimodal.extract_features(df, decode_backend="real").collect()
+
+
+def test_frame_sample_stub(spark):
+    df = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.frame_sample_stub(df, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in got)

@@ -1,0 +1,213 @@
+"""Deduplication for training corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design: every dedup family is shaped as
+``candidate generation (bucketable, shuffle on a small key) ->
+within-bucket verification`` so the quadratic step never touches the
+full corpus.  At 100 TB the LSH band-bucket join is the only shuffle,
+keyed by (band_id, band_hash) — high cardinality, naturally balanced.
+
+Hashes use the oracle-parity form (md5 hex -> 60-bit int, see
+``text.hex_hash64``) so DuckDB reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tickers_daily_intraday_etl_spark.functions.text import (
+    fingerprint_md5,
+    hex_hash64,
+    normalize_text,
+    ws_tokens,
+)
+
+
+# ------------------------------------------------------------------- exact
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup over normalized text: one row per
+    duplicate *group* (>= 2 members), with the canonical (min) id.
+    Single shuffle; map-side partial aggregation applies."""
+    h = fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("canonical_id"))
+        .where(F.col("dup_count") >= 2)
+    )
+
+
+def distinct_by_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per normalized text (the min-id row) — the 'apply'
+    side of exact dedup."""
+    w = df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("__fp"))
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------- shingles
+def word_shingles(col, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of normalized text (strings)."""
+    toks = ws_tokens(normalize_text(col))
+    n = F.size(toks)
+    # NB: sequence(1, 0) DESCENDS in Spark — guard the n < k case explicitly
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ----------------------------------------------------------------- MinHash
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: columns mh0..mh{n-1}.
+
+    h_i(doc) = min over shingles of hex_hash64(i, shingle).  One explode +
+    one groupBy (partial-agg'd); the explode fan-out is bounded by
+    document length, not corpus size."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+    )
+    aggs = [
+        F.min(hex_hash64(F.col("__sh"), seed=i)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band-hash): classic
+    MinHash-LSH candidate generation.  Returns distinct (id_a < id_b)."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band_id"), F.col("bh.h"))
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    Shuffle is keyed by shingle (candidate generation), then by pair
+    (intersection count).  At scale, run *after* LSH pruning; here it is
+    also the verification stage for LSH candidates."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))  # shingles are distinct already
+    inter = (
+        ex.alias("l")
+        .join(ex.alias("r"), (F.col("l.__sh") == F.col("r.__sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash over whitespace tokens with the oracle-parity token hash.
+
+    Bit b of the signature is the sign of sum over tokens of
+    (+1 if bit b of hex_hash64(token) else -1).  Implemented as one
+    explode + one groupBy with ``bits`` conditional-sum aggregates —
+    a single shuffle, fully JVM-side."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(normalize_text(F.col(text_col)))).alias("__tok"),
+    ).withColumn("__h", hex_hash64(F.col("__tok"), seed="simhash"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    summed = ex.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash, banded so candidate
+    generation is an equi-join: split the signature into (max_hamming+1)
+    chunks — any pair within distance d agrees on >= 1 chunk (pigeonhole)."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    parts = sig_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", F.col("ch.chunk_id"), F.col("ch.chunk"))
+    l, r = parts.alias("l"), parts.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("__ha"),
+            F.col("r.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
