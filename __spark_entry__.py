@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC pipeline (documents-derived
+binlog -> LWW dedup -> bucket-pruned MERGE into the lake table) at
+sf0.001.  ``queries()`` exposes the full operator inventory; every
+SQL-expressible operator has a matching ``oracle_sql()`` entry that
+DuckDB evaluates over the same parquet views (see
+tickers_daily_intraday_etl_spark/queries.py for the implementations).
 """
 
 from __future__ import annotations
@@ -16,23 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from tickers_daily_intraday_etl_spark.queries import QUERIES
+
+    return QUERIES["cdc_merge_final_state"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data pipeline operators)."""
+    from tickers_daily_intraday_etl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; rows-only ops (streaming CDC,
+    LSH/IVF approximate search, multimodal stubs) are intentionally
+    omitted."""
+    from tickers_daily_intraday_etl_spark.queries import ORACLES
+
+    return dict(ORACLES)

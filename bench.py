@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus a CDC upsert-throughput microbench
+(synthetic binlog -> streaming MERGE).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+
+For the two-parallelism scaling evidence (N vs 4N cores), run
+bench_scaling.py — it executes the same CDC job at local[8] and
+local[32] in separate processes and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+HEADLINE = [
+    "cdc_merge_final_state",
+    "cdc_lww_dedup",
+    "watermark_incremental",
+    "grouped_watermarks",
+    "moving_metrics_fact",
+    "scd2_dim",
+    "argmax_event_type",
+    "text_stats",
+    "lang_id",
+    "exact_dup_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_32",
+    "cosine_topk",
+    "embedding_near_pairs",
+    "pricing_summary",
+    "top_revenue_customers",
+]
+
+
+def run_cdc_throughput(spark, sf: float) -> dict:
+    """Streaming CDC microbench: events/sec through the full pipeline
+    (feed segments -> readStream -> dedup -> bucket-pruned MERGE)."""
+    from tickers_daily_intraday_etl_spark.cdc.feedgen import generate_feed, write_feed_segments
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    n_events = max(20_000, int(2_000_000 * sf))
+    n_docs = max(1_000, n_events // 20)
+    work = os.path.join("/tmp", f"cdc_bench_{uuid.uuid4().hex}")
+    feed_dir = os.path.join(work, "feed")
+    events = generate_feed(n_events=n_events, n_docs=n_docs, seed=42)
+    write_feed_segments(events, feed_dir, n_segments=4)
+    pipe = CdcPipeline(
+        spark,
+        feed_dir,
+        os.path.join(work, "table"),
+        os.path.join(work, "ckpt"),
+        num_buckets=64,
+        salt_partitions=8,
+        max_files_per_trigger=1,
+    )
+    t0 = time.time()
+    pipe.run_available_now()
+    dt = time.time() - t0
+    total = len(events)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "events": total,
+        "sec": round(dt, 3),
+        "events_per_sec": round(total / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from tickers_daily_intraday_etl_spark.queries import QUERIES
+    from tickers_daily_intraday_etl_spark.session import get_spark
+
+    spark = get_spark("cdc-engine-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        n = q(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        log(f"{name}: {n} rows in {dt:.2f}s")
+
+    cdc = run_cdc_throughput(spark, sf)
+    log(f"cdc throughput: {cdc}")
+
+    out = {
+        "metric": "headline query wall time + CDC upsert throughput",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Mirror of the driver's correctness harness: run every queries() entry
+and its oracle_sql() through DuckDB on the same parquet tables, compare
+row count + column names + order-insensitive values.
+
+Runs at sf0.001 for speed (the driver uses sf0.01; parity at one SF
+implies the formulations agree — both are pure functions of the data).
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r))
+        out.append(tuple(_norm_cell(d[c]) for c in sorted(cols)))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    got = _rowset(spark_rows, spark_cols)
+    exp = _rowset(duck_rows, duck_cols)
+    mismatches = [i for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"{got[mismatches[0]]} vs {exp[mismatches[0]]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    from tickers_daily_intraday_etl_spark.queries import ROWS_ONLY_QUERIES
+
+    for name, q in ROWS_ONLY_QUERIES.items():
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "tokens_csv", "n_tok", "source"}

@@ -27,8 +27,8 @@ _ORD = "__ord"
 _ROW = "__row"
 
 
-def _ordering_struct(df: DataFrame, lsn_col: str, commit_ts_col: str) -> F.Column:
-    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+def _ordering_struct(cols: list[str], lsn_col: str, commit_ts_col: str) -> F.Column:
+    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
     return F.struct(
         F.col(lsn_col).alias("lsn"),
         F.col(commit_ts_col).alias("ts"),
@@ -36,19 +36,21 @@ def _ordering_struct(df: DataFrame, lsn_col: str, commit_ts_col: str) -> F.Colum
     )
 
 
-def lww_dedup(
+def lww_winner(
     df: DataFrame,
-    key_col: str = "doc_id",
-    lsn_col: str = "lsn",
-    commit_ts_col: str = "commit_ts",
+    key_col: str,
+    lsn_col: str,
+    commit_ts_col: str,
     salt_partitions: int = 0,
 ) -> DataFrame:
-    """Keep exactly one row per key: the last writer in
-    (lsn, commit_ts, fingerprint) order.  Deterministic & total."""
+    """Core LWW aggregation: one row per key, the max of
+    (lsn, commit_ts, fingerprint).  One shuffle, map-side combined;
+    optional explicit two-phase salting bounds reduce fan-in per hot key
+    to #salts.  Output columns == input columns."""
     cols = df.columns
     packed = df.select(
         F.col(key_col).alias("__key"),
-        _ordering_struct(df, lsn_col, commit_ts_col).alias(_ORD),
+        _ordering_struct(cols, lsn_col, commit_ts_col).alias(_ORD),
         F.struct(*[F.col(c) for c in cols]).alias(_ROW),
     )
     winner = F.max(F.struct(F.col(_ORD), F.col(_ROW))).alias("__win")
@@ -61,3 +63,15 @@ def lww_dedup(
     else:
         final = packed.groupBy("__key").agg(winner)
     return final.select(*[F.col(f"__win.{_ROW}.{c}").alias(c) for c in cols])
+
+
+def lww_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    lsn_col: str = "lsn",
+    commit_ts_col: str = "commit_ts",
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Keep exactly one row per key: the last writer in
+    (lsn, commit_ts, fingerprint) order.  Deterministic & total."""
+    return lww_winner(df, key_col, lsn_col, commit_ts_col, salt_partitions)

@@ -10,14 +10,17 @@ copy-on-write MERGE with these semantics:
 * key absent in target      -> insert (op='D' inserts a tombstone so a
   later-arriving stale update still loses — replay equality demands it)
 
-Physical plan (scale-first):
-1. LWW-dedup the batch (1 shuffle, map-side combined, optionally salted).
-2. Prune the target to the key-buckets present in the batch — at 100 TB
-   a batch touching 1% of buckets reads/writes 1% of the table.
-3. Union pruned-target rows with batch rows and take the max of the
-   ordering struct per key (1 shuffle, map-side combined) — no join.
-4. Rewrite only the affected buckets; commit atomically with the batch's
-   manifest (epoch fence) and per-bucket lineage records.
+Physical plan (scale-first, exactly TWO jobs per batch):
+1. one small stats aggregation over the batch — (op x bucket) counts,
+   which yields rows_in, per-op counts AND the affected-bucket list in a
+   single pass;
+2. one fused LWW aggregation: pruned-target rows UNIONed with raw batch
+   rows, winner per key = max(lsn, commit_ts, fingerprint) — in-batch
+   dedup and target-vs-batch conflict resolution are the same max, so
+   there is no separate dedup shuffle and no join anywhere;
+then the affected buckets are rewritten and the commit (data files +
+batch manifest + per-bucket lineage) is atomic.  At 100 TB a batch
+touching 1% of buckets reads/writes 1% of the table.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tickers_daily_intraday_etl_spark.cdc import schemas as S
-from tickers_daily_intraday_etl_spark.cdc.dedup import lww_dedup
+from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
 from tickers_daily_intraday_etl_spark.lake.table import (
     BUCKET_COL,
     COMMIT_TS_COL,
@@ -70,67 +73,53 @@ def merge_into(
     if batch_id is not None and batch_id in table.committed_batch_ids():
         return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
 
-    spark = table.spark
-    key = table.key_col
-
-    # -- 1. batch-local LWW dedup + batch stats (tiny aggregations)
-    deduped = lww_dedup(
-        changes,
-        key_col=key,
-        lsn_col=S.LSN_SRC_COL,
-        commit_ts_col=S.COMMIT_TS_SRC_COL,
-        salt_partitions=salt_partitions,
+    # -- 1. one stats pass: (op x bucket) counts => rows_in, op_counts,
+    #       affected buckets.  Small result (<= 3 * num_buckets rows).
+    stats = (
+        changes.select(S.OP_COL, table.bucket_expr().alias(BUCKET_COL))
+        .groupBy(S.OP_COL, BUCKET_COL)
+        .agg(F.count("*").alias("n"))
+        .collect()
     )
-    op_counts = {r[S.OP_COL]: r["n"] for r in changes.groupBy(S.OP_COL).agg(F.count("*").alias("n")).collect()}
+    op_counts: dict[str, int] = {}
+    affected_set: set[int] = set()
+    for r in stats:
+        op_counts[r[S.OP_COL]] = op_counts.get(r[S.OP_COL], 0) + r["n"]
+        affected_set.add(r[BUCKET_COL])
     rows_in = sum(op_counts.values())
     if rows_in == 0:
         # Conditional-skip sink (reference: staging/load_staging_data.py:38-48)
         # — still record the epoch so the fence holds.
         version = table._commit([], [], table.stored_schema(), {"batch_id": batch_id, "rows_in": 0})
         return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
+    affected = sorted(affected_set)
 
     # -- 2. schema evolution: merge batch payload schema into the table's
     current = table.stored_schema()
     incoming = T.StructType(S.payload_fields(changes.schema))
     evolved = merge_schemas(current, incoming)
 
-    src = _to_stored_rows(deduped, evolved).withColumn(BUCKET_COL, table.bucket_expr())
+    src = _to_stored_rows(changes, evolved).withColumn(BUCKET_COL, table.bucket_expr())
 
-    # -- 3. bucket pruning: only the buckets the batch touches
-    affected = sorted(r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect())
+    # -- 3. bucket pruning + fused union/LWW winner (single shuffle)
     snap = table.log.snapshot()
-    old_adds = [a for a in snap.live_files.values() if a["bucket"] in set(affected)]
+    old_adds = [a for a in snap.live_files.values() if a["bucket"] in affected_set]
     target = table.read_raw(buckets=affected)
     target = align_to_schema(target, evolved).withColumn(BUCKET_COL, table.bucket_expr())
-
-    # -- 4. union + LWW winner per key (single shuffle, no join)
     cols = [f.name for f in evolved.fields] + [BUCKET_COL]
     unioned = target.select(*cols).unionByName(src.select(*cols))
-    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
-    ord_struct = F.struct(
-        F.col(LSN_COL).alias("lsn"),
-        F.col(COMMIT_TS_COL).alias("ts"),
-        fingerprint.alias("fp"),
-    )
-    packed = unioned.select(
-        F.col(key).alias("__key"),
-        F.struct(ord_struct.alias("o"), F.struct(*[F.col(c) for c in cols]).alias("r")).alias("__p"),
-    )
-    merged = (
-        packed.groupBy("__key")
-        .agg(F.max("__p").alias("__win"))
-        .select(*[F.col(f"__win.r.{c}").alias(c) for c in cols])
+    merged = lww_winner(
+        unioned, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
     )
 
-    # -- 5. rewrite affected buckets; atomic commit with manifest
+    # -- 4. rewrite affected buckets; atomic commit with manifest
     new_adds = table._write_data(merged, len(affected))
     lineage = {
         "batch_id": batch_id,
         "rows_in": rows_in,
-        "rows_deduped": None,  # filled by callers that want the extra pass
         "op_counts": op_counts,
         "affected_buckets": affected,
-        "rows_before": {str(a["bucket"]): 0 for a in old_adds},
+        "rows_before": {},
         "rows_after": {},
         "files_removed": len(old_adds),
         "files_added": len(new_adds),

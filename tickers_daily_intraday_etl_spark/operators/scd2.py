@@ -24,15 +24,17 @@ from pyspark.sql import functions as F
 END_OF_TIME = "2099-12-31"  # reference: analytics/etl_dim_analytics.py:204-205
 
 
-def surrogate_key(*cols: str) -> F.Column:
+def surrogate_key(*cols: str, algo: str = "sha1") -> F.Column:
     """Version-identity hash over all attributes.
 
     The reference concatenates str(col) values with NO delimiter and
     SHA-1s them (utils/db_utils.py:58-69) — delimiter-free concat is
     ambiguity-prone ('a','bc' == 'ab','c') but is replicated exactly so
-    hashes match an equivalent oracle expression.
+    hashes match an equivalent oracle expression.  ``algo='md5'`` is the
+    oracle-parity variant (DuckDB has no sha1).
     """
-    return F.sha1(F.concat_ws("", *[F.col(c).cast("string") for c in cols]))
+    concat = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    return F.md5(concat) if algo == "md5" else F.sha1(concat)
 
 
 def scd2_apply(
@@ -41,6 +43,7 @@ def scd2_apply(
     key_col: str,
     attr_cols: list[str],
     effective_date,
+    hash_algo: str = "sha1",
 ) -> DataFrame:
     """Return the new dimension state after applying ``updates``.
 
@@ -53,7 +56,7 @@ def scd2_apply(
     upd = updates.select(
         key_col,
         *attr_cols,
-        surrogate_key(key_col, *attr_cols).alias("subrogate_key"),
+        surrogate_key(key_col, *attr_cols, algo=hash_algo).alias("subrogate_key"),
         eff.alias("date_from"),
         F.lit(END_OF_TIME).cast("date").alias("date_to"),
         F.lit(1.0).alias("is_current"),

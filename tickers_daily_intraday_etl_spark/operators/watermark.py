@@ -40,5 +40,9 @@ def incremental_filter(
     """
     wm = F.broadcast(watermarks.select(key_col, wm_col))
     joined = batch.join(wm, on=key_col, how="left")
-    keep = F.col(ts_col) > F.coalesce(F.col(wm_col), F.lit(default_watermark).cast("timestamp"))
+    # cast the default to the ts column's own type (timestamp vs
+    # timestamp_ntz) so the comparison never round-trips through the
+    # session timezone
+    default = F.lit(default_watermark).cast(batch.schema[ts_col].dataType)
+    keep = F.col(ts_col) > F.coalesce(F.col(wm_col), default)
     return joined.where(keep).drop(wm_col)

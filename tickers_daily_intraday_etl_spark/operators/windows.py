@@ -53,9 +53,14 @@ def moving_metrics(
     close_col: str,
     volume_col: str,
     frame: tuple[int, int] = SMA_FRAME,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Append the reference's five derived metrics."""
-    w_ord = Window.partitionBy(key_col).orderBy(ts_col)
+    """Append the reference's five derived metrics.  ``tiebreak_cols``
+    extend the window ordering to a total order when ``ts_col`` can tie
+    (the reference's event_datetime is unique per ticker; generic inputs
+    are not)."""
+    order = [ts_col, *(tiebreak_cols or [])]
+    w_ord = Window.partitionBy(key_col).orderBy(*order)
     w_frame = w_ord.rowsBetween(*frame)
     out = (
         df.withColumn("close_value_sma", F.avg(close_col).over(w_frame))
@@ -80,13 +85,16 @@ def incremental_moving_metrics(
     close_col: str,
     volume_col: str,
     lookback_rows: int = 4,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Lookback-union-window-filter (reference:
     analytics/etl_fact_analytics.py:56,73-79,105-106) — but by *row count*
     per key (exactly the frame's need) instead of the reference's 5
     time-units, which undercounts when gaps exceed the window.
     Emits only rows not already published (update_flag semantics)."""
-    w_desc = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    w_desc = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in (tiebreak_cols or [])]
+    )
     tail = (
         published.withColumn("__rn", F.row_number().over(w_desc))
         .where(F.col("__rn") <= lookback_rows)
@@ -95,5 +103,7 @@ def incremental_moving_metrics(
     )
     batch = new_rows.withColumn("update_flag", F.lit(1))
     unioned = tail.select(*batch.columns).unionByName(batch)
-    metrics = moving_metrics(unioned, key_col, ts_col, close_col, volume_col)
+    metrics = moving_metrics(
+        unioned, key_col, ts_col, close_col, volume_col, tiebreak_cols=tiebreak_cols
+    )
     return metrics.where(F.col("update_flag") == 1).drop("update_flag")

@@ -1,0 +1,731 @@
+"""Driver-contract query inventory: each entry pairs a Spark DataFrame
+implementation with an ANSI-SQL oracle that DuckDB evaluates over the
+same parquet tables (pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings).
+
+Conventions that make the value-hash comparison exact:
+* identical column aliases on both sides;
+* timestamps exported as ``unix_micros`` <-> ``epoch_us`` (BIGINT both
+  sides, timezone-proof);
+* derived doubles rounded to 6 decimals on both sides (both engines
+  round half-away-from-zero);
+* hashes via the md5-hex->int parity form (``text.hex_hash64``);
+* int arrays exported as csv strings (array hashing is driver-dependent).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tickers_daily_intraday_etl_spark.cdc.dedup import lww_dedup
+from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, TARGET_SCHEMA
+from tickers_daily_intraday_etl_spark.functions import dedupe, similarity, text
+from tickers_daily_intraday_etl_spark.lake import LakeTable
+from tickers_daily_intraday_etl_spark.operators import (
+    argmax_label,
+    incremental_filter,
+    key_watermarks,
+    moving_metrics,
+    scd2_apply,
+)
+from tickers_daily_intraday_etl_spark.sources import load_table
+
+
+def _epoch_us(col_name: str) -> F.Column:
+    """TZ-independent micros-since-epoch for TIMESTAMP_NTZ columns
+    (parquet naive timestamps) — mirrors DuckDB epoch_us exactly under
+    ANY driver session timezone (unix_micros/to_utc_timestamp are not)."""
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col_name})")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared feed derivation: a binlog-shaped change stream synthesized
+# deterministically from the `documents` table, identically expressible in
+# Spark and SQL.  tokens = md5-derived int32 ids of normalized ws-tokens;
+# three versions per doc (lsn = doc_id*10+v); v3 deletes every 7th doc.
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 7))::INT)"
+)
+
+
+def _doc_tokens(col) -> F.Column:
+    toks = F.filter(F.split(text.normalize_text(col), " "), lambda x: x != "")
+    return F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("int"))
+
+
+def _cdc_feed(docs: DataFrame) -> DataFrame:
+    """op/doc_id/lsn/commit_ts/tokens/n_tok/source + __v batch marker."""
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _doc_tokens(F.col("text")).alias("__toks"),
+        "source",
+        F.col("doc_id").alias("__num"),
+    )
+    feed = base.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("__v")
+    )
+    op = (
+        F.when(F.col("__v") == 1, F.lit("I"))
+        .when((F.col("__v") == 3) & (F.col("__num") % 7 == 0), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    lsn = (F.col("__num") * 10 + F.col("__v")).cast("long")
+    is_del = op == "D"
+    toks = F.when(is_del, F.lit(None)).otherwise(
+        F.transform(F.col("__toks"), lambda x: x + F.col("__v"))
+    )
+    return feed.select(
+        op.alias("op"),
+        "doc_id",
+        lsn.alias("lsn"),
+        F.timestamp_seconds(lsn).alias("commit_ts"),
+        toks.alias("tokens"),
+        F.when(is_del, F.lit(None)).otherwise(F.size(F.col("__toks"))).cast("int").alias("n_tok"),
+        "source",
+        F.col("__v"),
+    )
+
+
+_CSV_TOKENS = "array_to_string(list_transform({toks}, x -> x + 3), ',')"
+
+
+# ------------------------------------------------------------- CDC engine
+@register(
+    "cdc_merge_final_state",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tokens, source FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {_CSV_TOKENS.format(toks='tokens')} AS tokens_csv,
+           len(tokens)::BIGINT AS n_tok,
+           source
+    FROM toks WHERE doc_id % 7 <> 0
+    """,
+)
+def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 3 change batches MERGEd through the real engine (LWW
+    dedup, bucket-pruned copy-on-write, tombstoned deletes); the oracle
+    computes the same final state directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    feed = _cdc_feed(docs)
+    path = os.path.join("/tmp", "cdc_query_runs", uuid.uuid4().hex)
+    table = LakeTable.create_if_not_exists(spark, path, TARGET_SCHEMA, num_buckets=16)
+    for v in (1, 2, 3):
+        batch = feed.where(F.col("__v") == v).drop("__v")
+        merge_into(table, batch, batch_id=v - 1, salt_partitions=4)
+    out = table.read()
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.col("tokens"), lambda x: x.cast("string"))).alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+    )
+
+
+@register(
+    "cdc_lww_dedup",
+    """
+    WITH feed AS (
+      SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN t.v = 1 THEN 'I'
+                  WHEN t.v = 3 AND d.doc_id % 7 = 0 THEN 'D'
+                  ELSE 'U' END AS op,
+             d.doc_id * 10 + t.v AS lsn
+      FROM documents d, generate_series(1, 3) t(v)
+    ), doubled AS (
+      SELECT * FROM feed UNION ALL SELECT * FROM feed
+    )
+    SELECT doc_id, op, lsn FROM doubled
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) = 1
+    """,
+)
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup standalone, fed an at-least-twice stream (self-union)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feed = _cdc_feed(docs).drop("__v")
+    doubled = feed.unionAll(feed)
+    winners = lww_dedup(doubled, salt_partitions=4)
+    return winners.select("doc_id", "op", F.col("lsn").cast("long").alias("lsn"))
+
+
+# -------------------------------------------------- incremental semantics
+@register(
+    "watermark_incremental",
+    """
+    WITH wm AS (
+      SELECT user_id, max(ts) AS last_ts FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type, e.value
+    FROM events e LEFT JOIN wm USING (user_id)
+    WHERE e.ts > coalesce(wm.last_ts, TIMESTAMP '2000-01-01')
+    """,
+)
+def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wm = key_watermarks(events.where(F.col("event_id") % 2 == 0), "user_id", "ts")
+    out = incremental_filter(events, wm, "user_id", "ts")
+    return out.select(
+        "event_id", "user_id", _epoch_us("ts").alias("ts_us"), "event_type", "value"
+    )
+
+
+@register(
+    "grouped_watermarks",
+    "SELECT user_id, epoch_us(max(ts)) AS last_ts_us, count(*)::BIGINT AS n_events "
+    "FROM events GROUP BY user_id",
+)
+def q_grouped_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.max("ts").alias("__max_ts"), F.count("*").alias("n_events")
+    )
+    return agg.select(
+        "user_id", _epoch_us("__max_ts").alias("last_ts_us"), "n_events"
+    )
+
+
+_FACT_SQL = """
+    WITH src AS (
+      SELECT event_id, user_id, ts, value AS close_value, value * 10 AS volume_amount
+      FROM events
+    ), b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, close_value, volume_amount,
+        avg(close_value)  OVER w4 AS close_value_sma,
+        avg(volume_amount) OVER w4 AS volume_sma,
+        lag(volume_amount) OVER w1 AS previous_volume_amount,
+        lag(close_value)   OVER w1 AS previous_close_value
+      FROM src
+      WINDOW
+        w4 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_us,
+      round(close_value_sma, 6) AS close_value_sma,
+      round(volume_sma, 6) AS volume_sma,
+      round(previous_volume_amount, 6) AS previous_volume_amount,
+      round(previous_close_value, 6) AS previous_close_value,
+      round(CASE WHEN previous_volume_amount = 0 AND volume_amount = 0 THEN 0
+                 WHEN previous_volume_amount = 0 AND volume_amount != 0 THEN 100
+                 ELSE 100 * (volume_amount / nullif(previous_volume_amount, 0) - 1)
+            END, 6) AS minute_volume_amount_variation,
+      round(CASE WHEN close_value = 0 AND previous_close_value = 0 THEN 0
+                 WHEN close_value = 0 AND previous_close_value != 0 THEN 100
+                 ELSE 100 * (close_value / nullif(previous_close_value, 0) - 1)
+            END, 6) AS minute_close_value_variation
+    FROM b
+"""
+
+
+@register("moving_metrics_fact", _FACT_SQL)
+def q_moving_metrics_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("close_value"),
+        (F.col("value") * 10).alias("volume_amount"),
+    )
+    m = moving_metrics(
+        src, "user_id", "ts", "close_value", "volume_amount", tiebreak_cols=["event_id"]
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        F.round("close_value_sma", 6).alias("close_value_sma"),
+        F.round("volume_sma", 6).alias("volume_sma"),
+        F.round("previous_volume_amount", 6).alias("previous_volume_amount"),
+        F.round("previous_close_value", 6).alias("previous_close_value"),
+        F.round("minute_volume_amount_variation", 6).alias("minute_volume_amount_variation"),
+        F.round("minute_close_value_variation", 6).alias("minute_close_value_variation"),
+    )
+
+
+_SCD2_SQL = """
+    WITH dim0 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+             md5(CAST(doc_id AS VARCHAR) || lang || source) AS subrogate_key,
+             DATE '2024-01-01' AS date_from, DATE '2099-12-31' AS date_to, CAST(1.0 AS DOUBLE) AS is_current
+      FROM documents
+    ), upd AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
+             source
+      FROM documents
+    ), upd_h AS (
+      SELECT *, md5(doc_id || lang || source) AS subrogate_key FROM upd
+    ), retired AS (
+      SELECT d.doc_id, d.lang, d.source, d.subrogate_key, d.date_from,
+             DATE '2024-05-31' AS date_to, CAST(0.0 AS DOUBLE) AS is_current
+      FROM dim0 d JOIN upd_h u ON d.doc_id = u.doc_id AND d.subrogate_key <> u.subrogate_key
+    ), unchanged AS (
+      SELECT d.* FROM dim0 d JOIN upd_h u
+        ON d.doc_id = u.doc_id AND d.subrogate_key = u.subrogate_key
+    ), inserted AS (
+      SELECT u.doc_id, u.lang, u.source, u.subrogate_key,
+             DATE '2024-06-01' AS date_from, DATE '2099-12-31' AS date_to, CAST(1.0 AS DOUBLE) AS is_current
+      FROM upd_h u WHERE NOT EXISTS (
+        SELECT 1 FROM dim0 d WHERE d.subrogate_key = u.subrogate_key AND d.is_current = 1.0)
+    )
+    SELECT doc_id, lang, source, subrogate_key,
+           CAST(date_from AS VARCHAR) AS date_from, CAST(date_to AS VARCHAR) AS date_to, is_current
+    FROM (SELECT * FROM retired UNION ALL SELECT * FROM unchanged UNION ALL SELECT * FROM inserted)
+"""
+
+
+@register("scd2_dim", _SCD2_SQL)
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 merge: every 5th doc changes lang casing -> retire + insert;
+    others touch; surrogate keys via the md5 oracle-parity variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    from tickers_daily_intraday_etl_spark.operators.scd2 import surrogate_key
+
+    dim0 = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        "source",
+        F.lit("2024-01-01").cast("date").alias("date_from"),
+        F.lit("2099-12-31").cast("date").alias("date_to"),
+        F.lit(1.0).alias("is_current"),
+    ).withColumn("subrogate_key", surrogate_key("doc_id", "lang", "source", algo="md5"))
+    updates = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.upper("lang")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+    )
+    out = scd2_apply(dim0, updates, "doc_id", ["lang", "source"], "2024-06-01", hash_algo="md5")
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "subrogate_key",
+        F.col("date_from").cast("string").alias("date_from"),
+        F.col("date_to").cast("string").alias("date_to"),
+        "is_current",
+    )
+
+
+@register(
+    "argmax_event_type",
+    """
+    WITH c AS (
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        count(*) FILTER (WHERE event_type = 'error')    AS n_error
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+      CASE greatest(n_click, n_view, n_purchase, n_signup, n_error)
+        WHEN n_click THEN 'click' WHEN n_view THEN 'view'
+        WHEN n_purchase THEN 'purchase' WHEN n_signup THEN 'signup'
+        ELSE 'error' END AS top_event
+    FROM c
+    """,
+)
+def q_argmax_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-max argmax (pandas idxmax parity): ties resolve in column
+    order click,view,purchase,signup,error — both sides."""
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{k}") for k in kinds
+    ]
+    counts = events.groupBy("user_id").agg(*aggs)
+    return counts.select(
+        "user_id", argmax_label([f"n_{k}" for k in kinds], kinds).alias("top_event")
+    )
+
+
+# ----------------------------------------------------------- text analysis
+_NORM_TOKS_SQL = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+_RAW_TOKS_SQL = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+        {_RAW_TOKS_SQL.format(col='text')} AS toks,
+        {_RAW_TOKS_SQL.format(col='lower(text)')} AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
+        len(list_filter(ltoks, x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+          / greatest(len(ltoks), 1) AS stop_ratio,
+        coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)::DOUBLE
+          / greatest(len(toks), 1) AS mean_tok_len
+      FROM t
+    )
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens, round(alpha_ratio, 6) AS alpha_ratio,
+      round(0.4 * alpha_ratio + 0.3 * (1.0 - abs(stop_ratio - 0.4))
+            + 0.3 * (1.0 - least(abs(mean_tok_len - 4.7) / 4.7, 1.0)), 6) AS quality
+    FROM m
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.ws_token_count(c).cast("long").alias("n_ws_tokens"),
+        text.bpe_token_estimate(c).cast("long").alias("n_bpe_tokens"),
+        F.round(text.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(text.quality_score(c), 6).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    from tickers_daily_intraday_etl_spark.functions.text import LANG_MARKERS
+
+    hits = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        hits.append(
+            f"len(list_filter({_RAW_TOKS_SQL.format(col='lower(text)')}, x -> list_contains({lst}, x))) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    top = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {top} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN h_{l} = {top} THEN '{l}' "
+    case += "END"
+    return f"WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents) SELECT doc_id, {case} AS lang_pred FROM h"
+
+
+@register("lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ------------------------------------------------------------------- dedup
+_AUG_DOCS_SQL = """
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+@register(
+    "exact_dup_groups",
+    f"""
+    WITH {_AUG_DOCS_SQL}
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           count(*)::BIGINT AS dup_count, min(doc_id) AS canonical_id
+    FROM aug GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedupe.exact_dup_groups(_aug_docs(spark, sf_dir), "text", "doc_id").select(
+        "fingerprint", F.col("dup_count").cast("long").alias("dup_count"), "canonical_id"
+    )
+
+
+_SHINGLE_CTE = f"""
+    norm AS (
+      SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents WHERE doc_id % 5 = 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+          THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+          ELSE []::VARCHAR[] END) AS sh
+        FROM norm) u
+    )
+"""
+
+
+def _minhash_sig_sql(n_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || sh), 1, 15))::BIGINT) AS mh{i}" for i in range(n_hashes)
+    )
+    return f"WITH {_SHINGLE_CTE} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+@register("minhash_signatures", _minhash_sig_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+
+
+def _lsh_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rpb = n_hashes // bands
+    sig = _minhash_sig_sql(n_hashes)
+    band_selects = []
+    for b in range(bands):
+        parts = " || ',' || ".join(f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, md5({parts}) AS h FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sig AS ({sig}), bands AS ({bands_sql})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.h = r.h AND l.doc_id < r.doc_id
+    """
+
+
+@register("lsh_candidate_pairs", _lsh_pairs_sql())
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    return dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    out = dedupe.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    recon = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS tok FROM documents WHERE doc_id % 5 = 0
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5('simhash:' || tok), 1, 15))::BIGINT AS h FROM toks
+    ), s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({recon})::BIGINT AS simhash FROM s
+    """
+
+
+@register("simhash_32", _simhash_sql())
+def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedupe.simhash(docs, "text", "doc_id", bits=32)
+
+
+# -------------------------------------------------------------- similarity
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_COS_SQL.format(a='embedding::DOUBLE[]', b='q.e')} AS c
+      FROM embeddings, q
+    )
+    SELECT vec_id, round(c, 6) AS cos_sim FROM scored
+    ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    scored = emb.select(
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding").cast("array<double>"), qcol), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@register(
+    "embedding_near_pairs",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
+    pairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL.format(a='l.e', b='r.e')} AS c
+      FROM v l JOIN v r ON l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.99
+    """,
+)
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    v = base.unionByName(dups).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
+        F.col("l.vec_id").alias("id_a"),
+        F.col("r.vec_id").alias("id_b"),
+        similarity.cosine(F.col("l.e"), F.col("r.e")).alias("c"),
+    )
+    return pairs.where(F.col("c") >= 0.99).select(
+        "id_a", "id_b", F.round("c", 6).alias("cos_sim")
+    )
+
+
+# ------------------------------------------------------------ OLAP classics
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*)::BIGINT AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_customers",
+    """
+    SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY round(sum(o.o_totalprice), 2) DESC, c.c_custkey LIMIT 10
+    """,
+)
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(10)
+
+
+# ------------------------------------------- non-SQL-expressible (rows-only)
+def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Structured Streaming path (readStream -> foreachBatch -> MERGE)
+    over a binlog written as segments; rows-only check (stream + commit
+    manifests are not SQL-expressible)."""
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = _cdc_feed(docs)
+    run = os.path.join("/tmp", "cdc_query_runs", uuid.uuid4().hex)
+    feed_dir = os.path.join(run, "feed")
+    for v in (1, 2, 3):
+        feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
+    pipe = CdcPipeline(
+        spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
+        feed_schema=CDC_SCHEMA, num_buckets=16, salt_partitions=4,
+    )
+    pipe.run_available_now()
+    return pipe.table.read().select("doc_id", "n_tok", "source")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: hyperplane-LSH near-dup pairs (recall < 1 by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    aug = base.unionByName(dups)
+    return similarity.ann_bucketed_pairs(aug, "embedding", "vec_id", n_planes=8, threshold=0.99)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in head[:4]]
+    query = [float(x) for x in head[5]["embedding"]]
+    return similarity.ivf_topk_to_query(emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickers_daily_intraday_etl_spark.functions import multimodal
+
+    media = multimodal.synthetic_media(spark, n=128)
+    return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+ROWS_ONLY_QUERIES = {
+    "cdc_streaming_final_state": q_cdc_streaming_final_state,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+QUERIES.update(ROWS_ONLY_QUERIES)
