@@ -101,3 +101,37 @@ def test_empty_table_read(spark, tmpdir_path):
     t = _mk(spark, os.path.join(tmpdir_path, "t"))
     assert t.read().count() == 0
     assert t.read().columns == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_concurrent_commit_disjoint_buckets_retries(spark, tmpdir_path):
+    """Two writers on different buckets: the loser's retry succeeds."""
+    from tickers_daily_intraday_etl_spark.lake.log import LogEntry
+
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), num_buckets=4)
+    t.append(spark.createDataFrame([Row(doc_id="a", tokens=[1], n_tok=1, source="s")], SCHEMA))
+    # interleave a disjoint commit between snapshot read and our commit
+    v = t.log.latest_version()
+    t.log.try_commit(LogEntry(version=v + 1, schema_json=t.stored_schema().json(), adds=[], removes=[]))
+    # our append still lands (no overlap with the interleaved commit)
+    v2 = t.append(spark.createDataFrame([Row(doc_id="b", tokens=[2], n_tok=1, source="s")], SCHEMA))
+    assert v2 == v + 2
+    assert t.read().count() == 2
+
+
+def test_concurrent_commit_overlapping_files_raises(spark, tmpdir_path):
+    """A concurrent rewrite of the same files aborts the stale commit."""
+    import pytest as _pytest
+
+    from tickers_daily_intraday_etl_spark.lake.log import LogEntry
+    from tickers_daily_intraday_etl_spark.lake.table import ConcurrentModificationError
+
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), num_buckets=2)
+    t.append(spark.createDataFrame([Row(doc_id="a", tokens=[1], n_tok=1, source="s")], SCHEMA))
+    snap = t.log.snapshot()
+    victim = list(snap.live_files)[0]
+    # concurrent writer removes the file we also want to replace
+    t.log.try_commit(
+        LogEntry(version=snap.version + 1, schema_json=snap.schema_json, adds=[], removes=[victim])
+    )
+    with _pytest.raises(ConcurrentModificationError):
+        t._commit([], [victim], t.stored_schema(), None)

@@ -1,0 +1,73 @@
+"""Compaction, tombstone purge, vacuum — state must be invariant."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import Row
+
+from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, TARGET_SCHEMA
+from tickers_daily_intraday_etl_spark.lake import LakeTable
+from tickers_daily_intraday_etl_spark.lake.maintenance import compact, purge_tombstones, vacuum
+
+
+def _ev(op, doc, lsn, tokens=None):
+    return Row(
+        op=op, doc_id=doc, lsn=lsn,
+        commit_ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn),
+        tokens=tokens, n_tok=None if tokens is None else len(tokens), source="s",
+    )
+
+
+def _setup(spark, tmpdir_path, n_batches=4):
+    t = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, num_buckets=4
+    )
+    lsn = 0
+    for b in range(n_batches):
+        rows = [_ev("U" if b else "I", f"d{i}", lsn + i + 1, [b, i]) for i in range(12)]
+        lsn += 12
+        merge_into(t, spark.createDataFrame(rows, CDC_SCHEMA), batch_id=b)
+    return t
+
+
+def _state(t):
+    return sorted((r.doc_id, list(r.tokens)) for r in t.read().collect())
+
+
+def test_compact_preserves_state_and_reduces_files(spark, tmpdir_path):
+    t = _setup(spark, tmpdir_path)
+    before = _state(t)
+    n_files_before = len(t.log.snapshot().live_files)
+    res = compact(t, max_files_per_bucket=1)
+    assert res["files_added"] <= res["files_removed"]
+    assert len(t.log.snapshot().live_files) <= n_files_before
+    assert _state(t) == before
+    # idempotent: second compact is a no-op
+    assert compact(t, max_files_per_bucket=1)["compacted_buckets"] == 0
+
+
+def test_purge_tombstones_respects_low_water_mark(spark, tmpdir_path):
+    t = _setup(spark, tmpdir_path, n_batches=1)
+    merge_into(t, spark.createDataFrame([_ev("D", "d0", 100)], CDC_SCHEMA), batch_id=10)
+    raw_tomb = t.read_raw().where("_deleted").count()
+    assert raw_tomb == 1
+    # lwm below the tombstone's lsn: kept (a staler update could still arrive)
+    purge_tombstones(t, lsn_low_water_mark=50)
+    assert t.read_raw().where("_deleted").count() == 1
+    # lwm above: physically dropped, visible state unchanged
+    before = _state(t)
+    purge_tombstones(t, lsn_low_water_mark=101)
+    assert t.read_raw().where("_deleted").count() == 0
+    assert _state(t) == before
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmpdir_path):
+    t = _setup(spark, tmpdir_path)
+    before = _state(t)
+    dry = vacuum(t, retain_last_n_versions=1, dry_run=True)
+    assert dry["orphan_files"] > 0  # superseded files from the 4 merges
+    res = vacuum(t, retain_last_n_versions=1)
+    assert res["orphan_files"] == dry["orphan_files"]
+    assert _state(t) == before  # latest snapshot fully readable
+    assert vacuum(t, retain_last_n_versions=1, dry_run=True)["orphan_files"] == 0

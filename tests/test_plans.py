@@ -1,0 +1,40 @@
+"""Physical-plan policy: pushdown reaches the scan, small sides
+broadcast, codegen covers the hot paths, no per-row Python anywhere."""
+
+from pyspark.sql import functions as F
+
+from tickers_daily_intraday_etl_spark import plans
+from tickers_daily_intraday_etl_spark.operators import incremental_filter, key_watermarks
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_row_wise_python_in_engine():
+    violations = plans.find_slow_path_violations()
+    assert violations == [], "\n".join(violations)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 25.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    ex = plans.explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)" in ex
+    # column pruning: only the 2 projected (+filter) columns in ReadSchema
+    assert "l_extendedprice" not in ex.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_watermark_filter_broadcasts_small_side(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    wm = key_watermarks(events.limit(100), "user_id", "ts")
+    out = incremental_filter(events, wm, "user_id", "ts")
+    assert plans.uses_broadcast_join(out)
+
+
+def test_hot_path_has_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    agg.collect()  # AQE only annotates codegen in the executed final plan
+    assert plans.has_whole_stage_codegen(agg)

@@ -145,3 +145,60 @@ def write_feed_segments(df: pd.DataFrame, out_dir: str, n_segments: int) -> list
         pq.write_table(table, path)
         paths.append(path)
     return paths
+
+
+def spark_generate_feed(
+    spark,
+    n_events: int,
+    n_docs: int,
+    n_segments: int,
+    out_dir: str,
+    max_tokens: int = 64,
+    p_delete: float = 0.05,
+    hot_fraction: float = 0.1,
+    files_per_segment: int = 32,
+):
+    """Distributed deterministic feed generator (for bench scale).
+
+    All columns derive from xxhash64 of the event id — no RNG state, no
+    driver-side loop, so the same (n_events, n_docs) always produces the
+    same feed at any parallelism.  ``hot_fraction`` of events hit a key
+    universe 1000x smaller (Zipf-ish head) to exercise skew handling.
+    Writes ``n_segments`` parquet segment directories (micro-batch
+    boundaries for the file-stream source) and returns the event count.
+    """
+    from pyspark.sql import functions as F
+
+    hot_docs = max(1, n_docs // 1000)
+    # enough files per segment that a local[32] (or 4N-executor) reader
+    # gets full scan parallelism from the smallest micro-batch
+    ids = spark.range(1, n_events + 1, 1, numPartitions=n_segments * files_per_segment)
+    h = F.xxhash64(F.col("id"))
+    is_hot = F.pmod(h, F.lit(int(1 / max(hot_fraction, 1e-9)))) == 0
+    doc_num = F.when(is_hot, F.pmod(F.xxhash64(F.col("id") * 7), F.lit(hot_docs))).otherwise(
+        F.pmod(h, F.lit(n_docs))
+    )
+    is_del = F.pmod(F.xxhash64(F.col("id") + 13), F.lit(int(1 / max(p_delete, 1e-9)))) == 0
+    tok_len = (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(max_tokens)) + 1).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(1), tok_len),
+        lambda i: F.pmod(F.xxhash64(F.concat(F.col("id").cast("string"), F.lit(":"), i.cast("string"))), F.lit(50_000)).cast("int"),
+    )
+    feed = ids.select(
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("doc-"), doc_num.cast("string")).alias("doc_id"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("commit_ts"),
+        F.when(is_del, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_del, F.lit(None)).otherwise(tok_len).alias("n_tok"),
+        F.concat(F.lit("feed_"), F.pmod(h, F.lit(3)).cast("string")).alias("source"),
+        F.floor((F.col("id") - 1) * n_segments / n_events).cast("int").alias("__seg"),
+    )
+    for seg in range(n_segments):
+        (
+            feed.where(F.col("__seg") == seg)
+            .drop("__seg")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"segment-{seg:05d}"))
+        )
+    return n_events

@@ -1,0 +1,102 @@
+"""Table maintenance: compaction, tombstone purge, vacuum.
+
+These are the operations that keep a continuously-MERGEd table healthy
+at 10^10-event scale: every micro-batch rewrites its affected buckets,
+so file counts grow linearly with batches until compaction folds them,
+deleted keys linger as tombstones until the feed's LSN low-water mark
+passes them, and superseded files hold disk until vacuumed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from tickers_daily_intraday_etl_spark.lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    LSN_COL,
+    LakeTable,
+)
+
+
+def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict[str, Any]:
+    """Rewrite buckets that have more than ``max_files_per_bucket`` live
+    files into one file each.  Metadata-only for untouched buckets."""
+    snap = table.log.snapshot()
+    by_bucket: dict[int, list[dict]] = {}
+    for a in snap.live_files.values():
+        by_bucket.setdefault(a["bucket"], []).append(a)
+    fat = {b: adds for b, adds in by_bucket.items() if len(adds) > max_files_per_bucket}
+    if not fat:
+        return {"compacted_buckets": 0, "files_removed": 0, "files_added": 0}
+    buckets = sorted(fat)
+    df = table.read_raw(buckets=buckets).withColumn(BUCKET_COL, table.bucket_expr())
+    new_adds = table._write_data(df, len(buckets))
+    removes = [a["path"] for adds in fat.values() for a in adds]
+    version = table._commit(new_adds, removes, table.stored_schema(), {"op": "compact"})
+    return {
+        "compacted_buckets": len(buckets),
+        "files_removed": len(removes),
+        "files_added": len(new_adds),
+        "version": version,
+    }
+
+
+def purge_tombstones(table: LakeTable, lsn_low_water_mark: int) -> dict[str, Any]:
+    """Physically drop tombstones whose LSN is below the feed's low-water
+    mark — no change event with a lower LSN can ever arrive, so the
+    tombstone can no longer lose an LWW comparison it needs to win."""
+    snap = table.log.snapshot()
+    tombstoned = (
+        table.read_raw()
+        .where(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < lsn_low_water_mark))
+        .select(table.bucket_expr().alias(BUCKET_COL))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r[BUCKET_COL] for r in tombstoned)
+    if not buckets:
+        return {"purged_buckets": 0, "version": snap.version}
+    keep = table.read_raw(buckets=buckets).where(
+        ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < lsn_low_water_mark))
+    )
+    keep = keep.withColumn(BUCKET_COL, table.bucket_expr())
+    new_adds = table._write_data(keep, len(buckets))
+    removes = [
+        a["path"] for a in snap.live_files.values() if a["bucket"] in set(buckets)
+    ]
+    version = table._commit(
+        new_adds, removes, table.stored_schema(), {"op": "purge_tombstones", "lwm": lsn_low_water_mark}
+    )
+    return {"purged_buckets": len(buckets), "version": version}
+
+
+def vacuum(table: LakeTable, retain_last_n_versions: int = 1, dry_run: bool = False) -> dict[str, Any]:
+    """Delete data files no snapshot in the retention window references.
+    Time travel to vacuumed-away versions stops working — exactly the
+    Iceberg/Delta retention trade-off."""
+    latest = table.log.latest_version()
+    keep_versions = range(max(0, latest - retain_last_n_versions + 1), latest + 1)
+    referenced: set[str] = set()
+    for v in keep_versions:
+        snap = table.log.snapshot(v)
+        referenced.update(snap.live_files.keys())
+    data_root = os.path.join(table.path, "data")
+    orphans = []
+    for root, _dirs, files in os.walk(data_root):
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table.path)
+            if rel not in referenced:
+                orphans.append(rel)
+    if not dry_run:
+        for rel in orphans:
+            os.unlink(os.path.join(table.path, rel))
+        # prune now-empty commit dirs
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            if not dirs and not files and root != data_root:
+                os.rmdir(root)
+    return {"orphan_files": len(orphans), "deleted": not dry_run}

@@ -109,6 +109,10 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+class ConcurrentModificationError(Exception):
+    """A concurrent commit rewrote files this commit was based on."""
+
+
 class LakeTable:
     """A transactional, bucket-partitioned parquet table."""
 
@@ -260,10 +264,24 @@ class LakeTable:
         schema: T.StructType,
         manifest: dict[str, Any] | None,
     ) -> int:
-        """Retry-loop commit; returns the committed version."""
+        """Optimistic-concurrency commit; returns the committed version.
+
+        On version conflict the commit is retried against the new
+        snapshot ONLY if every file this commit removes is still live —
+        i.e. the interleaved commit touched disjoint buckets.  If a
+        removed file is gone, our data files were computed against a
+        stale snapshot and blindly committing would drop the other
+        writer's changes: raise instead (caller re-runs the merge)."""
         while True:
             snap = self.log.snapshot()
             version = snap.version + 1
+            missing = [r for r in removes if r not in snap.live_files]
+            if missing:
+                raise ConcurrentModificationError(
+                    f"{len(missing)} file(s) this commit replaces were already "
+                    f"rewritten by a concurrent commit (e.g. {missing[0]}); "
+                    "recompute the merge against the current snapshot"
+                )
             schema_json = schema.json()
             for a in adds:
                 # files written under the outgoing canonical schema

@@ -729,3 +729,68 @@ ROWS_ONLY_QUERIES = {
     "multimodal_features": q_multimodal_features,
 }
 QUERIES.update(ROWS_ONLY_QUERIES)
+
+
+# ------------------------------------------------------- joins / sessions
+@register(
+    "orders_without_lineitems",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (reference J5: the SCD-2 NOT EXISTS insert,
+    analytics/etl_dim_analytics.py:177-210) as a standalone operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           epoch_us(min(ts)) AS session_start_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag(ts) gap > 30 min starts a session, cumsum
+    numbers it (the classic pattern; streaming analog is session_window,
+    streaming/windows.py)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    g = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("__min_ts"),
+    ).select(
+        "user_id", "session_id", "n_events", _epoch_us("__min_ts").alias("session_start_us")
+    )

@@ -49,7 +49,47 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the local-mode
+    equivalent of ``spark-submit --py-files engine.zip``).  Without it,
+    any pickled function referencing the package (pandas UDFs,
+    applyInPandasWithState handlers, foreachBatch closures) raises
+    ModuleNotFoundError on workers whenever the driver's cwd is not the
+    repo root."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"tickers_daily_intraday_etl_spark-{__spark_pkg_fingerprint(pkg_dir)}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def __spark_pkg_fingerprint(pkg_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                h.update(name.encode())
+                h.update(str(os.path.getmtime(full)).encode())
+    return h.hexdigest()[:12]
 
 
 def stop_spark() -> None:

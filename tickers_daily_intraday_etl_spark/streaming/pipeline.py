@@ -47,6 +47,8 @@ class CdcPipeline:
         num_buckets: int = 16,
         salt_partitions: int = 0,
         max_files_per_trigger: int | None = None,
+        feed_format: str = "parquet",
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -54,6 +56,9 @@ class CdcPipeline:
         self.feed_schema = feed_schema
         self.salt_partitions = salt_partitions
         self.max_files_per_trigger = max_files_per_trigger
+        self.feed_format = feed_format
+        self.compact_every = compact_every
+        self._batches_applied = 0
         from tickers_daily_intraday_etl_spark.cdc import schemas as S
 
         if target_schema is None:
@@ -71,14 +76,28 @@ class CdcPipeline:
             salt_partitions=self.salt_partitions,
         )
         self.lineage.append(manifest)
+        if not manifest.get("skipped"):
+            self._batches_applied += 1
+            if self.compact_every and self._batches_applied % self.compact_every == 0:
+                from tickers_daily_intraday_etl_spark.lake.maintenance import compact
+
+                self.lineage.append({"maintenance": compact(self.table)})
 
     def run_available_now(self) -> list[dict[str, Any]]:
         """Drain everything currently in the feed dir, then stop.
         Resumable: a later call picks up only new segments (checkpoint)."""
-        reader = (
-            self.spark.readStream.schema(self.feed_schema)
-            .option("maxFilesPerTrigger", str(self.max_files_per_trigger or 1))
-            .parquet(self.feed_dir)
+        from tickers_daily_intraday_etl_spark.sources.changefeed import read_feed
+
+        options = {"recursiveFileLookup": "true"}
+        if self.max_files_per_trigger is not None:
+            options["maxFilesPerTrigger"] = str(self.max_files_per_trigger)
+        reader = read_feed(
+            self.spark,
+            self.feed_dir,
+            fmt=self.feed_format,
+            schema=self.feed_schema,
+            streaming=True,
+            options=options,
         )
         query = (
             reader.writeStream.foreachBatch(self._apply_batch)
