@@ -83,12 +83,21 @@ def run_cdc_throughput(spark, sf: float) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0  # non-sf-named dir: scale-dependent sizing falls back to minimums
 
     from tickers_daily_intraday_etl_spark.queries import QUERIES
     from tickers_daily_intraday_etl_spark.session import get_spark
 
     spark = get_spark("cdc-engine-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # JIT warm-up: run one mid-weight query untimed so the first timed
+    # query doesn't absorb the JVM's compilation cost
+    QUERIES["cdc_lww_dedup"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -794,3 +794,183 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "session_id", "n_events", _epoch_us("__min_ts").alias("session_start_us")
     )
+
+
+# ----------------------------------------------------- OLAP breadth
+_EVENT_KINDS = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click')::BIGINT    AS click,
+      count(*) FILTER (WHERE event_type = 'view')::BIGINT     AS view,
+      count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup')::BIGINT   AS signup,
+      count(*) FILTER (WHERE event_type = 'error')::BIGINT    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_KINDS)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in _EVENT_KINDS],
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_except_users",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    err = events.where(F.col("event_type") == "error").select("user_id").distinct()
+    pur = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return err.exceptAll(pur).distinct()
+
+
+_INCR_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "incremental_fact_lookback",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id, ts, value AS close_value, value * 10 AS volume_amount
+      FROM events
+    ), b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts,
+        avg(close_value)   OVER w4 AS close_value_sma,
+        avg(volume_amount) OVER w4 AS volume_sma,
+        lag(close_value)   OVER w1 AS previous_close_value
+      FROM src
+      WINDOW
+        w4 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_us,
+           round(close_value_sma, 6) AS close_value_sma,
+           round(volume_sma, 6) AS volume_sma,
+           round(previous_close_value, 6) AS previous_close_value
+    FROM b WHERE ts >= TIMESTAMP '{_INCR_CUTOFF}'
+    """,
+)
+def q_incremental_fact_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lookback-union-window-filter incremental fact
+    (analytics/etl_fact_analytics.py:56,73-79,105-106): windows over
+    published-tail + new batch must equal full-history windows for the
+    new rows — the oracle computes the latter directly."""
+    from tickers_daily_intraday_etl_spark.operators.windows import incremental_moving_metrics
+
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("close_value"),
+        (F.col("value") * 10).alias("volume_amount"),
+    )
+    cutoff = F.lit(_INCR_CUTOFF).cast(src.schema["ts"].dataType)
+    published = src.where(F.col("ts") < cutoff)
+    fresh = src.where(F.col("ts") >= cutoff)
+    out = incremental_moving_metrics(
+        published, fresh, "user_id", "ts", "close_value", "volume_amount",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        F.round("close_value_sma", 6).alias("close_value_sma"),
+        F.round("volume_sma", 6).alias("volume_sma"),
+        F.round("previous_close_value", 6).alias("previous_close_value"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON flatten (reference F12: the wide OVERVIEW JSON
+    landing, analytics/etl_dim_analytics.py:45): parse the props JSON
+    column, project a typed field, filter on it."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+    return parsed.where(F.col("k_value") > 50)
