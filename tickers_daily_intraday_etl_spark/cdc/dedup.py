@@ -27,12 +27,25 @@ _ORD = "__ord"
 _ROW = "__row"
 
 
+def content_fingerprint(cols: list[str]) -> F.Column:
+    """Deterministic 64-bit content hash of a row.
+
+    xxhash64 over the raw columns (2x faster than hashing a to_json
+    rendering) — but Spark's hash functions SKIP null inputs, so rows
+    differing only in which column is null would collide; a null-bitmap
+    folded in as an extra argument restores that distinction."""
+    null_mask = None
+    for i, c in enumerate(cols):
+        bit = F.when(F.col(c).isNull(), F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        null_mask = bit if null_mask is None else null_mask + bit
+    return F.xxhash64(*[F.col(c) for c in cols], null_mask)
+
+
 def _ordering_struct(cols: list[str], lsn_col: str, commit_ts_col: str) -> F.Column:
-    fingerprint = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
     return F.struct(
         F.col(lsn_col).alias("lsn"),
         F.col(commit_ts_col).alias("ts"),
-        fingerprint.alias("fp"),
+        content_fingerprint(cols).alias("fp"),
     )
 
 
