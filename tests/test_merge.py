@@ -5,6 +5,7 @@ import datetime as dt
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
@@ -149,3 +150,29 @@ def test_empty_batch_records_epoch(spark, tmpdir_path):
     m = merge_into(t, empty, batch_id=5)
     assert m["rows_in"] == 0
     assert 5 in t.committed_batch_ids()
+
+
+def test_merge_schema_widening_int_to_long(spark, tmpdir_path):
+    """int32 -> int64 widening mid-stream: old files unrewritten, reads
+    align, values preserved."""
+    from pyspark.sql import types as T
+
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA), batch_id=0)
+    widened_fields = []
+    for f in CDC_SCHEMA.fields:
+        if f.name == "n_tok":
+            widened_fields.append(T.StructField("n_tok", T.LongType(), True))
+        else:
+            widened_fields.append(f)
+    widened = T.StructType(widened_fields)
+    big = 3_000_000_000  # exceeds int32
+    rows = [_ev("I", "b", 2, ts_s=1, tokens=[2])]
+    df = spark.createDataFrame(rows, CDC_SCHEMA).select(
+        "op", "doc_id", "lsn", "commit_ts", "tokens",
+        F.lit(big).cast("long").alias("n_tok"), "source",
+    )
+    merge_into(t, df, batch_id=1)
+    assert t.user_schema()["n_tok"].dataType == T.LongType()
+    out = {r.doc_id: r.n_tok for r in t.read().collect()}
+    assert out == {"a": 1, "b": big}

@@ -715,6 +715,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_to_query(emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2)
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (vectorized pandas
+    UDF; no ANSI-SQL equivalent -> rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_md5(F.col("text")).alias("md5_fp"),
+        text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickers_daily_intraday_etl_spark.functions import multimodal
 
@@ -724,6 +735,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROWS_ONLY_QUERIES = {
     "cdc_streaming_final_state": q_cdc_streaming_final_state,
+    "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
