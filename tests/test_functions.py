@@ -178,3 +178,20 @@ def test_frame_sample_stub(spark):
     frames = multimodal.frame_sample_stub(df, every_ms=1000)
     got = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in got)
+
+
+def test_text_functions_null_safe(spark):
+    import duckdb
+
+    df = spark.createDataFrame([Row(doc_id=1, t=None), Row(doc_id=2, t="the cat")],
+                               "doc_id long, t string")
+    out = df.select(
+        text.ws_token_count(F.col("t")).alias("n"),
+        text.lang_id(F.col("t")).alias("lang"),
+        text.quality_score(F.col("t")).alias("q"),
+    ).orderBy("n").collect()
+    # NULL text -> NULL everywhere (matches SQL len()/CASE-on-NULL)
+    nulls = [r for r in out if r.n is None][0]
+    assert nulls.lang is None and nulls.q is None
+    (duck_n,) = duckdb.sql("select len(list_filter(regexp_split_to_array(NULL,'\\s+'), x -> x<>''))").fetchone()
+    assert duck_n is None  # the oracle agrees

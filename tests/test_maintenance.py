@@ -65,9 +65,9 @@ def test_purge_tombstones_respects_low_water_mark(spark, tmpdir_path):
 def test_vacuum_deletes_only_unreferenced(spark, tmpdir_path):
     t = _setup(spark, tmpdir_path)
     before = _state(t)
-    dry = vacuum(t, retain_last_n_versions=1, dry_run=True)
+    dry = vacuum(t, retain_last_n_versions=1, dry_run=True, min_age_seconds=0)
     assert dry["orphan_files"] > 0  # superseded files from the 4 merges
-    res = vacuum(t, retain_last_n_versions=1)
+    res = vacuum(t, retain_last_n_versions=1, min_age_seconds=0)
     assert res["orphan_files"] == dry["orphan_files"]
     assert _state(t) == before  # latest snapshot fully readable
-    assert vacuum(t, retain_last_n_versions=1, dry_run=True)["orphan_files"] == 0
+    assert vacuum(t, retain_last_n_versions=1, dry_run=True, min_age_seconds=0)["orphan_files"] == 0

@@ -38,3 +38,28 @@ def test_hot_path_has_codegen(spark):
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     agg.collect()  # AQE only annotates codegen in the executed final plan
     assert plans.has_whole_stage_codegen(agg)
+
+
+def test_slow_path_audit_actually_scans_and_flags(tmp_path):
+    """Guard against the audit silently scanning nothing (regression: the
+    default root once pointed at a nonexistent dir and the test above was
+    vacuous)."""
+    import os
+
+    import tickers_daily_intraday_etl_spark as pkg
+
+    pkg_root = os.path.dirname(os.path.abspath(pkg.__file__))
+    scanned = plans.find_slow_path_violations(pkg_root)
+    assert scanned == []
+    # nonexistent root would also return [] — prove the scanner sees files
+    bad = tmp_path / "mod.py"
+    bad.write_text("df.rdd.map(lambda r: r)\n")
+    hits = plans.find_slow_path_violations(str(tmp_path))
+    assert len(hits) == 1 and "mod.py:1" in hits[0]
+
+
+def test_scan_pushes_filters_tolerates_mixed_plans(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").where(F.col("l_quantity") > 25.0)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")  # full scan side
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    assert plans.scan_pushes_filters(joined)  # one pushed scan suffices

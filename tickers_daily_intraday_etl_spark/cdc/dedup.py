@@ -32,13 +32,21 @@ def content_fingerprint(cols: list[str]) -> F.Column:
 
     xxhash64 over the raw columns (2x faster than hashing a to_json
     rendering) — but Spark's hash functions SKIP null inputs, so rows
-    differing only in which column is null would collide; a null-bitmap
-    folded in as an extra argument restores that distinction."""
-    null_mask = None
-    for i, c in enumerate(cols):
-        bit = F.when(F.col(c).isNull(), F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        null_mask = bit if null_mask is None else null_mask + bit
-    return F.xxhash64(*[F.col(c) for c in cols], null_mask)
+    differing only in which column is null would collide; null-bitmap
+    words folded in as extra arguments restore that distinction
+    (one 62-bit word per 62 columns — a single word would overflow
+    LongType at column 63)."""
+    masks: list[F.Column] = []
+    for word_start in range(0, len(cols), 62):
+        word = None
+        for i, c in enumerate(cols[word_start : word_start + 62]):
+            bit = (
+                F.when(F.col(c).isNull(), F.lit(1 << i).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            word = bit if word is None else word + bit
+        masks.append(word)
+    return F.xxhash64(*[F.col(c) for c in cols], *masks)
 
 
 def _ordering_struct(cols: list[str], lsn_col: str, commit_ts_col: str) -> F.Column:

@@ -93,6 +93,17 @@ def generate_feed(
         }
     )
 
+    # Schema-evolution column: assigned PER EVENT before duplication, so
+    # an at-least-once duplicate carries an identical payload — assigning
+    # by position after the shuffle gave two copies of one event different
+    # source_version values, violating the CDC tie contract (the LSN must
+    # determine the payload).
+    if evolve_at is not None:
+        cut = int(n_events * evolve_at)
+        sv = pd.array([None] * n_events, dtype="Int32")
+        sv[cut:] = rng.integers(1, 4, size=n_events - cut)
+        df["source_version"] = sv
+
     # Exact duplicates (at-least-once delivery).
     dup_idx = np.flatnonzero(rng.random(n_events) < p_duplicate)
     if len(dup_idx):
@@ -102,13 +113,6 @@ def generate_feed(
     jitter = rng.integers(0, shuffle_window, size=len(df))
     order = np.argsort(np.arange(len(df)) + jitter, kind="stable")
     df = df.iloc[order].reset_index(drop=True)
-
-    # Schema-evolution segment: `source_version` appears from this point on.
-    if evolve_at is not None:
-        cut = int(len(df) * evolve_at)
-        sv = pd.array([None] * len(df), dtype="Int32")
-        sv[cut:] = rng.integers(1, 4, size=len(df) - cut)
-        df["source_version"] = sv
     return df
 
 

@@ -36,17 +36,30 @@ def _fingerprint(row: dict[str, Any]) -> str:
 
 
 def replay(events: pd.DataFrame) -> dict[str, dict[str, Any]]:
-    """Replay the feed; return {doc_id: final payload row} (no tombstones)."""
-    state: dict[str, tuple[tuple, dict[str, Any]]] = {}
+    """Replay the feed; return {doc_id: final payload row} (no tombstones).
+
+    Contract: within one key, (lsn, commit_ts) must uniquely determine the
+    payload — true of real CDC feeds, where the LSN identifies a committed
+    transaction.  The engine breaks exact (lsn, commit_ts) ties with a
+    content fingerprint whose ordering the oracle cannot reproduce, so a
+    feed violating the contract is rejected here rather than silently
+    diverging."""
+    state: dict[str, tuple[tuple, dict[str, Any], str]] = {}
     payload_cols = [c for c in events.columns if c not in ("op", "lsn", "commit_ts")]
     for row in events.itertuples(index=False):
         d = row._asdict()
         key = d["doc_id"]
         payload = {c: d.get(c) for c in payload_cols}
-        order = (int(d["lsn"]), d["commit_ts"], _fingerprint(payload))
+        fp = _fingerprint({**payload, "op": d["op"]})
+        order = (int(d["lsn"]), d["commit_ts"])
         prev = state.get(key)
+        if prev is not None and order == prev[0] and fp != prev[2]:
+            raise ValueError(
+                f"feed violates the CDC tie contract: key {key!r} has two "
+                f"different events at lsn={d['lsn']} commit_ts={d['commit_ts']}"
+            )
         if prev is None or order > prev[0]:
-            state[key] = (order, payload if d["op"] != "D" else None)
+            state[key] = (order, payload if d["op"] != "D" else None, fp)
     return {k: v[1] for k, v in state.items() if v[1] is not None}
 
 

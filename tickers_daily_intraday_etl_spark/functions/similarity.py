@@ -71,7 +71,11 @@ def ann_bucketed_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH bucket join, exact cosine
     verification within bucket.  The cross product never leaves a bucket."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty input: no pairs, correct schema
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
+    dim = len(head[0])
     planes = make_hyperplanes(n_planes, dim, seed)
     v = df.select(
         F.col(id_col),

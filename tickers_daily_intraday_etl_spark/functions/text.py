@@ -32,7 +32,9 @@ def ws_tokens(col) -> F.Column:
 
 
 def ws_token_count(col) -> F.Column:
-    return F.size(ws_tokens(col))
+    # size(NULL) is -1 under legacy semantics; NULL text -> NULL count
+    # (matches the SQL oracle's len(...) on NULL)
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.size(ws_tokens(col))).cast("int")
 
 
 def bpe_token_estimate(col) -> F.Column:
@@ -62,12 +64,13 @@ def mean_token_length(col) -> F.Column:
 def quality_score(col) -> F.Column:
     """Composite [0,1]-ish quality heuristic: favor letter-heavy text with
     a moderate stopword ratio and word lengths near typical prose (~4.7).
-    Weights are fixed and documented so the oracle can reproduce them."""
-    return (
+    Weights are fixed and documented so the oracle can reproduce them.
+    NULL text -> NULL."""
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
         0.4 * alpha_ratio(col)
         + 0.3 * (1.0 - F.abs(stopword_ratio(col) - F.lit(0.4)))
         + 0.3 * (1.0 - F.least(F.abs(mean_token_length(col) - F.lit(4.7)) / 4.7, F.lit(1.0)))
-    )
+    )  # noqa: closing the when/otherwise above
 
 
 def _isin_hits(toks, values: tuple[str, ...]) -> F.Column:
@@ -86,10 +89,12 @@ def lang_scores(col) -> list[tuple[str, F.Column]]:
 
 def lang_id(col) -> F.Column:
     """Marker-word language ID: argmax of per-language marker hits;
-    ties break in LANG_MARKERS order; zero hits -> 'und'."""
+    ties break in LANG_MARKERS order; zero hits -> 'und'; NULL text ->
+    NULL (size(NULL) would otherwise yield -1 everywhere and the first
+    language would win by accident)."""
     scores = lang_scores(col)
     top = F.greatest(*[s for _, s in scores])
-    expr = F.when(top == 0, F.lit("und"))
+    expr = F.when(col.isNull(), F.lit(None)).when(top <= 0, F.lit("und"))
     for lang, s in scores:
         expr = expr.when(s == top, F.lit(lang))
     return expr

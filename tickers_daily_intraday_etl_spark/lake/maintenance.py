@@ -74,10 +74,23 @@ def purge_tombstones(table: LakeTable, lsn_low_water_mark: int) -> dict[str, Any
     return {"purged_buckets": len(buckets), "version": version}
 
 
-def vacuum(table: LakeTable, retain_last_n_versions: int = 1, dry_run: bool = False) -> dict[str, Any]:
+def vacuum(
+    table: LakeTable,
+    retain_last_n_versions: int = 1,
+    dry_run: bool = False,
+    min_age_seconds: float = 3600.0,
+) -> dict[str, Any]:
     """Delete data files no snapshot in the retention window references.
     Time travel to vacuumed-away versions stops working — exactly the
-    Iceberg/Delta retention trade-off."""
+    Iceberg/Delta retention trade-off.
+
+    ``min_age_seconds`` protects files written by an in-flight merge that
+    has not committed yet (they are unreferenced by ANY snapshot until the
+    commit lands) — the same modification-time guard Delta's VACUUM uses.
+    Tests pass 0 to vacuum eagerly.
+    """
+    import time
+
     latest = table.log.latest_version()
     keep_versions = range(max(0, latest - retain_last_n_versions + 1), latest + 1)
     referenced: set[str] = set()
@@ -85,12 +98,13 @@ def vacuum(table: LakeTable, retain_last_n_versions: int = 1, dry_run: bool = Fa
         snap = table.log.snapshot(v)
         referenced.update(snap.live_files.keys())
     data_root = os.path.join(table.path, "data")
+    now = time.time()
     orphans = []
     for root, _dirs, files in os.walk(data_root):
         for name in files:
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table.path)
-            if rel not in referenced:
+            if rel not in referenced and now - os.path.getmtime(full) >= min_age_seconds:
                 orphans.append(rel)
     if not dry_run:
         for rel in orphans:

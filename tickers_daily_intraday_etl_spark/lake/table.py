@@ -282,6 +282,23 @@ class LakeTable:
                     f"rewritten by a concurrent commit (e.g. {missing[0]}); "
                     "recompute the merge against the current snapshot"
                 )
+            # a concurrent commit may have evolved the canonical schema
+            # after this merge was planned; publishing our stale schema
+            # would null-fill the concurrent column away on every aligned
+            # read.  Our data files were written under OUR schema, so the
+            # only safe resolutions are (a) ours is a superset -> commit,
+            # (b) anything else -> abort and let the caller replan.
+            current = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
+            merged = merge_schemas(current, schema)
+            # merge_schemas normalizes nullability; compare like-for-like
+            normalized = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+            if merged.json() != normalized.json():
+                raise ConcurrentModificationError(
+                    "canonical schema evolved concurrently while this commit "
+                    "was in flight; recompute the merge against the current snapshot"
+                )
             schema_json = schema.json()
             for a in adds:
                 # files written under the outgoing canonical schema

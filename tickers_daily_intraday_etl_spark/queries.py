@@ -15,7 +15,9 @@ Conventions that make the value-hash comparison exact:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +48,17 @@ def _epoch_us(col_name: str) -> F.Column:
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
+
+
+def _run_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch dir per (query kind, sf): the previous run's
+    table is deleted up front, so repeated driver/bench invocations keep
+    /tmp usage bounded at one table copy per (kind, sf).  The returned
+    DataFrames stay lazily readable until the NEXT run of the same query."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", "cdc_query_runs", f"{kind}-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 def register(name: str, oracle: str | None):
@@ -132,7 +145,7 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same final state directly."""
     docs = load_table(spark, sf_dir, "documents")
     feed = _cdc_feed(docs)
-    path = os.path.join("/tmp", "cdc_query_runs", uuid.uuid4().hex)
+    path = _run_dir("merge", sf_dir)
     table = LakeTable.create_if_not_exists(spark, path, TARGET_SCHEMA, num_buckets=16)
     for v in (1, 2, 3):
         batch = feed.where(F.col("__v") == v).drop("__v")
@@ -684,7 +697,7 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feed = _cdc_feed(docs)
-    run = os.path.join("/tmp", "cdc_query_runs", uuid.uuid4().hex)
+    run = _run_dir("stream", sf_dir)
     feed_dir = os.path.join(run, "feed")
     for v in (1, 2, 3):
         feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)

@@ -87,13 +87,22 @@ def _lww_state_fn(
     """Per-key applied-LSN high-water mark (the reference's per-ticker
     max(event_date) watermark, staging/transform_staging_data.py:47,
     as true streaming state)."""
+    import numpy as np
+
     (max_lsn,) = state.get if state.exists else (-1,)
     out = []
     for pdf in pdfs:
-        pdf = pdf.sort_values("lsn")
-        newer = pdf[pdf["lsn"] > max_lsn]
+        pdf = pdf.sort_values("lsn", kind="stable")
+        lsn = pdf["lsn"].to_numpy()
+        # strictly-increasing filter with the mark advancing ROW by row —
+        # a duplicate LSN inside one Arrow chunk must be dropped exactly
+        # like one split across chunks, or output depends on
+        # spark.sql.execution.arrow.maxRecordsPerBatch (nondeterminism)
+        prev = np.concatenate(([max_lsn], lsn[:-1]))
+        keep = lsn > np.maximum.accumulate(prev)
+        newer = pdf[keep]
         if len(newer):
-            max_lsn = int(newer["lsn"].max())
+            max_lsn = int(newer["lsn"].iloc[-1])
             out.append(newer[["doc_id", "lsn", "op", "n_tok"]])
     state.update((max_lsn,))
     if out:
