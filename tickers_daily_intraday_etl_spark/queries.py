@@ -910,16 +910,28 @@ def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except_users",
     """
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING count(*) >= 12
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 12
     """,
 )
 def q_set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: error-heavy users who are not purchase-heavy
+    (threshold 12 chosen so the result is non-empty at sf0.01)."""
     events = load_table(spark, sf_dir, "events")
-    err = events.where(F.col("event_type") == "error").select("user_id").distinct()
-    pur = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    return err.exceptAll(pur).distinct()
+
+    def heavy(kind):
+        return (
+            events.where(F.col("event_type") == kind)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 12)
+            .select("user_id")
+        )
+
+    return heavy("error").exceptAll(heavy("purchase")).distinct()
 
 
 _INCR_CUTOFF = "2024-01-16 00:00:00"
@@ -999,3 +1011,22 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
     return parsed.where(F.col("k_value") > 50)
+
+
+@register(
+    "distinct_by_text",
+    f"""
+    WITH {_AUG_DOCS_SQL},
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM aug GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    SELECT a.doc_id, length(a.text)::BIGINT AS text_len
+    FROM aug a JOIN keep USING (doc_id)
+    """,
+)
+def q_distinct_by_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'apply' side of exact dedup: keep one (min-id) row per
+    normalized text over the dup-injected corpus."""
+    kept = dedupe.distinct_by_text(_aug_docs(spark, sf_dir), "text", "doc_id")
+    return kept.select("doc_id", F.length("text").cast("long").alias("text_len"))
