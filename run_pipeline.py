@@ -1,0 +1,85 @@
+"""spark-submit entry point for the CDC ingest job.
+
+    spark-submit --master <cluster> \
+      --py-files $(python -c 'from tickers_daily_intraday_etl_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())') \
+      run_pipeline.py --feed <dir> --table <dir> --checkpoint <dir> \
+      [--num-buckets 128] [--salt 16] [--feed-format parquet] \
+      [--compact-every N] [--evolved-schema]
+
+Honors whatever master/executor topology spark-submit configures (the
+north rule's N / 4N executor deployments); local runs fall back to
+sensible local-mode defaults.  Prints one JSON line with rows applied,
+batches, and throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--num-buckets", type=int, default=128)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--feed-format", default="parquet")
+    ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--evolved-schema", action="store_true",
+                    help="read the feed with the schema-evolution envelope (source_version)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # under spark-submit the master/executors come from the submit command;
+    # standalone invocation falls back to local defaults
+    spark = (
+        SparkSession.builder.appName("cdc-ingest")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, CDC_SCHEMA_V2
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark,
+        args.feed,
+        args.table,
+        args.checkpoint,
+        feed_schema=CDC_SCHEMA_V2 if args.evolved_schema else CDC_SCHEMA,
+        num_buckets=args.num_buckets,
+        salt_partitions=args.salt,
+        feed_format=args.feed_format,
+        compact_every=args.compact_every,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    t0 = time.time()
+    lineage = pipe.run_available_now()
+    dt = time.time() - t0
+    applied = [m for m in lineage if m.get("rows_in")]
+    rows = sum(m["rows_in"] for m in applied)
+    print(
+        json.dumps(
+            {
+                "rows_in": rows,
+                "batches": len(lineage),
+                "sec": round(dt, 2),
+                "events_per_sec": round(rows / dt, 1) if dt > 0 else None,
+                "table_version": pipe.table.log.latest_version(),
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

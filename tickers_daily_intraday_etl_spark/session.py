@@ -53,13 +53,9 @@ def get_spark(
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers (the local-mode
-    equivalent of ``spark-submit --py-files engine.zip``).  Without it,
-    any pickled function referencing the package (pandas UDFs,
-    applyInPandasWithState handlers, foreachBatch closures) raises
-    ModuleNotFoundError on workers whenever the driver's cwd is not the
-    repo root."""
+def build_pyfiles_zip() -> str:
+    """Build (or reuse) the engine zip for ``spark-submit --py-files``.
+    Content-addressed by file mtimes, so edits produce a fresh zip."""
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -76,7 +72,17 @@ def _ship_package(spark: SparkSession) -> None:
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the local-mode
+    equivalent of ``spark-submit --py-files engine.zip``).  Without it,
+    any pickled function referencing the package (pandas UDFs,
+    applyInPandasWithState handlers, foreachBatch closures) raises
+    ModuleNotFoundError on workers whenever the driver's cwd is not the
+    repo root."""
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
 
 
 def __spark_pkg_fingerprint(pkg_dir: str) -> str:
