@@ -15,11 +15,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _shielded(fn):
+    """The driver supplies its own SparkSession; ship the engine package
+    to its executors first (pandas-UDF/stateful queries pickle references
+    to the package, which workers cannot import unless the driver's cwd
+    happens to be the repo root)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from tickers_daily_intraday_etl_spark.session import _ship_package
+
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from tickers_daily_intraday_etl_spark.queries import QUERIES
 
-    return QUERIES["cdc_merge_final_state"](spark, "/root/testdata/sf0.001")
+    return _shielded(QUERIES["cdc_merge_final_state"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -27,7 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training-data pipeline operators)."""
     from tickers_daily_intraday_etl_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: _shielded(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
