@@ -40,8 +40,12 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash_32",
+    "simhash_near_pairs",
     "cosine_topk",
     "embedding_near_pairs",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "doc_fingerprints",
     "pricing_summary",
     "top_revenue_customers",
 ]

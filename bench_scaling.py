@@ -180,7 +180,7 @@ def main() -> None:
     # measurement time (shared host: nominal 4x is often not available)
     efficiency_hw = (med[LEVELS[1]] / med[LEVELS[0]]) / hw_ratio
     summary = {
-        "metric": "CDC upsert throughput scaling (local[8] vs local[32])",
+        "metric": f"CDC upsert throughput scaling (local[{LEVELS[0]}] vs local[{LEVELS[1]}])",
         "events": N_EVENTS,
         "events_per_sec_median": {str(c): round(med[c], 1) for c in LEVELS},
         "events_per_sec_best": {str(c): round(best[c], 1) for c in LEVELS},

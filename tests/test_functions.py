@@ -180,6 +180,81 @@ def test_frame_sample_stub(spark):
     assert all(r["count"] >= 1 for r in got)
 
 
+def test_multimodal_feature_golden_values(spark):
+    """Pin the deterministic byte-histogram kernel exactly: payload bytes
+    0..15 hit each of the 16 buckets once -> every feature == 1/16."""
+    from pyspark.sql import types as T
+
+    payload = bytearray(range(16))
+    df = spark.createDataFrame(
+        [("m-0", "image", payload, "image/png", 4, 4, None)], multimodal.MEDIA_SCHEMA
+    )
+    (row,) = multimodal.extract_features(df).collect()
+    assert row.n_bytes == 16
+    assert row.features == [pytest.approx(1.0 / 16)] * multimodal.FEATURE_DIM
+    # 3 bytes all congruent to 2 (mod 16): bucket 2 gets everything
+    df2 = spark.createDataFrame(
+        [("m-1", "audio", bytearray([2, 18, 34]), "audio/wav", None, None, 10)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    (row2,) = multimodal.extract_features(df2).collect()
+    exp = [0.0] * multimodal.FEATURE_DIM
+    exp[2] = 1.0
+    assert row2.features == [pytest.approx(x) for x in exp]
+
+
+def test_rolling_fingerprint_matches_duckdb_fold(spark):
+    import duckdb
+    from pyspark.sql import Row as R
+
+    texts = ["Hello   World", "a", "", "ünïcode tëst", "the quick brown fox"]
+    df = spark.createDataFrame([R(t=t) for t in texts])
+    got = [r.f for r in df.select(text.rolling_fingerprint(F.col("t")).alias("f")).collect()]
+    for t, g in zip(texts, got):
+        (exp,) = duckdb.execute(
+            r"""
+            SELECT CAST(list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_extract_all(trim(regexp_replace(lower(?), '\s+', ' ', 'g')), '.'),
+                               c -> unicode(c)::HUGEINT)),
+              (a, x) -> (a * 257 + x) % 2305843009213693951::HUGEINT) AS BIGINT)
+            """,
+            [t],
+        ).fetchone()
+        assert g == exp, t
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by EVERY doc must not create pairs once its
+    document frequency exceeds the cap — and with the hot shingle capped
+    away, otherwise-unrelated docs have no surviving intersection."""
+    common = "of the day"  # one shared 3-shingle in every doc
+    rows = [Row(doc_id=i, t=f"{common} unique{i} tail{i} end{i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    capped = dedupe.ngram_jaccard_pairs(df, "t", "doc_id", shingle_k=3, threshold=0.01,
+                                        max_doc_freq=5)
+    assert capped.count() == 0
+    uncapped = dedupe.ngram_jaccard_pairs(df, "t", "doc_id", shingle_k=3, threshold=0.01,
+                                          max_doc_freq=None)
+    assert uncapped.count() == 45  # all C(10,2) pairs via the stop shingle
+
+
+def test_ann_multitable_recall_superset_of_single_table(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((24, 8)).tolist()
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append(Row(vec_id=200, embedding=[float(x) for x in vecs[1]]))  # dup of 1
+    df = spark.createDataFrame(rows)
+    single = {(r.id_a, r.id_b) for r in
+              similarity.ann_bucketed_pairs(df, "embedding", "vec_id", n_planes=6,
+                                            seed=42, threshold=0.99).collect()}
+    multi = {(r.id_a, r.id_b) for r in
+             similarity.ann_multitable_pairs(df, "embedding", "vec_id", n_planes=6,
+                                             n_tables=2, seed=42, threshold=0.99).collect()}
+    assert single <= multi       # extra tables only ADD candidates
+    assert (1, 200) in multi     # exact dups always collide (every table)
+
+
 def test_text_functions_null_safe(spark):
     import duckdb
 

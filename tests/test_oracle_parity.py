@@ -28,11 +28,19 @@ def duck():
 
 
 def _norm_cell(v):
+    """Type-tagged normalization: int vs float vs Decimal are DISTINCT,
+    matching the driver's strict value-hash (a DuckDB HUGEINT that
+    materializes as float64/Decimal must NOT silently equal a Spark
+    BIGINT — that class of oracle type bug has to fail locally)."""
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    return v
+        return ("float", "nan" if math.isnan(v) else round(v, 9))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, str):
+        return ("str", v)
+    return (type(v).__name__, str(v))
 
 
 def _rowset(rows, cols):
@@ -50,9 +58,12 @@ def test_query_matches_oracle(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # fetch via Arrow (like the driver), not fetchall(): Arrow surfaces
+    # DuckDB's HUGEINT as Decimal instead of coercing it to Python int,
+    # so oracle type mismatches are visible here before the driver sees them
+    tbl = duck.execute(entry_mod.oracle_sql()[name]).fetch_arrow_table()
+    duck_cols = tbl.column_names
+    duck_rows = [tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(duck_rows), (

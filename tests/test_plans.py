@@ -58,6 +58,19 @@ def test_slow_path_audit_actually_scans_and_flags(tmp_path):
     assert len(hits) == 1 and "mod.py:1" in hits[0]
 
 
+def test_embedding_near_pairs_has_no_cartesian_product(spark):
+    """The near-pair queries must stay bucket-join-shaped: any
+    CartesianProduct / BroadcastNestedLoopJoin means an all-pairs plan
+    snuck back in (the 100-TB killer the LSH bucketing exists to avoid)."""
+    from tickers_daily_intraday_etl_spark.queries import QUERIES
+
+    for name in ("embedding_near_pairs", "ann_lsh_topk", "simhash_near_pairs",
+                 "lsh_candidate_pairs", "ngram_jaccard_pairs"):
+        ex = plans.explain_str(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in ex, name
+        assert "BroadcastNestedLoopJoin" not in ex, name
+
+
 def test_scan_pushes_filters_tolerates_mixed_plans(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").where(F.col("l_quantity") > 25.0)
     orders = spark.read.parquet(f"{SF}/orders.parquet")  # full scan side

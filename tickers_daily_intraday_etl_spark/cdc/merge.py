@@ -5,8 +5,13 @@ retire -> touch -> insert, reference: analytics/etl_dim_analytics.py:142-211)
 and its watermark filter (staging/transform_staging_data.py:47-62) into one
 copy-on-write MERGE with these semantics:
 
-* source.lsn >  target.lsn  -> update (or tombstone, for op='D')
-* source.lsn <= target.lsn  -> no-op (stale change, late arrival)
+* the source row wins iff its ordering tuple (lsn, commit_ts,
+  content fingerprint) is STRICTLY greater than the target row's — so a
+  higher LSN always wins, an equal-LSN source wins only with a newer
+  commit_ts (and fingerprint as the final total-order tiebreak; the
+  feed generator deliberately emits equal-LSN ties and the replay
+  oracle pins this contract)
+* otherwise the target row stands (stale change, late arrival)
 * key absent in target      -> insert (op='D' inserts a tombstone so a
   later-arriving stale update still loses — replay equality demands it)
 
@@ -62,6 +67,7 @@ def merge_into(
     batch_id: Any,
     salt_partitions: int = 0,
     extra_manifest: dict[str, Any] | None = None,
+    mode: str = "cow",
 ) -> dict[str, Any]:
     """Apply one change batch exactly-once. Returns the lineage manifest.
 
@@ -69,7 +75,21 @@ def merge_into(
     replay (foreachBatch retry after failure, resume overlap) — skipped
     without touching data, which is what makes re-runs idempotent
     (the guard the reference lacks at staging/load_staging_data.py:41).
+
+    ``mode``:
+    * ``'cow'`` (copy-on-write, default): rewrite every affected bucket —
+      read cost stays minimal, but a batch whose keys touch all buckets
+      rewrites the whole table.
+    * ``'mor'`` (merge-on-read): write ONLY the batch's deduped rows as
+      per-bucket delta files (no target read, no removes — write volume
+      is proportional to the BATCH); reads LWW-resolve base + deltas with
+      the identical total order, and compaction folds deltas back into
+      base files.  The right choice when batches touch a small fraction
+      of rows per bucket — the main write-amplification risk of CoW at
+      10^10-event scale.  Modes can be mixed batch-by-batch on one table.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     import time as _time
 
     if batch_id is not None and batch_id in table.committed_batch_ids():
@@ -105,17 +125,53 @@ def merge_into(
         return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
     affected = sorted(affected_set)
 
-    # -- 2. schema evolution: merge batch payload schema into the table's
-    current = table.stored_schema()
+    # -- 2. pin the planning snapshot ONCE: schema, pruned target rows and
+    #       the removes list all come from the same version, and _commit
+    #       aborts if an affected bucket gained files after it (otherwise a
+    #       concurrent add-only commit's rows would be copied into our new
+    #       files while its own files stay live -> duplicate keys).
+    snap = table.log.snapshot()
+    current = table.stored_schema(version=snap.version)
     incoming = T.StructType(S.payload_fields(changes.schema))
     evolved = merge_schemas(current, incoming)
 
     src = _to_stored_rows(changes, evolved).withColumn(BUCKET_COL, table.bucket_expr())
 
+    if mode == "mor":
+        # -- 3'. merge-on-read: in-batch LWW dedup only (same single
+        # shuffle, minus the target union), written as DELTA files;
+        # nothing is removed, so the commit is add-only and conflict-free.
+        deduped = lww_winner(
+            src, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
+        )
+        _t_plan = _time.time()
+        new_adds = table._write_data(deduped, len(affected), kind="delta")
+        _t_write = _time.time()
+        lineage = {
+            "batch_id": batch_id,
+            "mode": "mor",
+            "rows_in": rows_in,
+            "timings_sec": {
+                "stats": round(_t_stats - _t0, 3),
+                "plan": round(_t_plan - _t_stats, 3),
+                "write": round(_t_write - _t_plan, 3),
+            },
+            "op_counts": op_counts,
+            "affected_buckets": affected,
+            "files_removed": 0,
+            "files_added": len(new_adds),
+            "rows_written": sum(a["rows"] for a in new_adds),
+        }
+        if extra_manifest:
+            lineage.update(extra_manifest)
+        version = table._commit(new_adds, [], evolved, lineage)
+        lineage["version"] = version
+        lineage["skipped"] = False
+        return lineage
+
     # -- 3. bucket pruning + fused union/LWW winner (single shuffle)
-    snap = table.log.snapshot()
     old_adds = [a for a in snap.live_files.values() if a["bucket"] in affected_set]
-    target = table.read_raw(buckets=affected)
+    target = table.read_raw(version=snap.version, buckets=affected)
     target = align_to_schema(target, evolved).withColumn(BUCKET_COL, table.bucket_expr())
     cols = [f.name for f in evolved.fields] + [BUCKET_COL]
     unioned = target.select(*cols).unionByName(src.select(*cols))
@@ -150,7 +206,14 @@ def merge_into(
         lineage["rows_after"][b] = lineage["rows_after"].get(b, 0) + a["rows"]
     if extra_manifest:
         lineage.update(extra_manifest)
-    version = table._commit(new_adds, [a["path"] for a in old_adds], evolved, lineage)
+    version = table._commit(
+        new_adds,
+        [a["path"] for a in old_adds],
+        evolved,
+        lineage,
+        base_version=snap.version,
+        affected_buckets=affected_set,
+    )
     lineage["version"] = version
     lineage["skipped"] = False
     return lineage

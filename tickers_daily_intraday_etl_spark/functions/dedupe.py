@@ -112,16 +112,36 @@ def lsh_candidate_pairs(
 
 # ----------------------------------------------------------------- Jaccard
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
     Shuffle is keyed by shingle (candidate generation), then by pair
     (intersection count).  At scale, run *after* LSH pruning; here it is
-    also the verification stage for LSH candidates."""
+    also the verification stage for LSH candidates.
+
+    ``max_doc_freq`` caps hot shingles: a shingle appearing in more than
+    that many documents (a stop-phrase like "of the …") would otherwise
+    produce a quadratic group in the self-join.  Capped shingles are
+    dropped from the shingle SETS (sizes and intersections alike), so the
+    semantics are "Jaccard over non-ubiquitous shingles" — consistent on
+    both sides of the ratio, and mirrored in the SQL oracle."""
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
     )
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))  # shingles are distinct per doc
+            .where(F.col("__df") <= max_doc_freq)
+            .select("__sh")
+        )
+        ex = ex.join(rare, "__sh")
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))  # shingles are distinct already
     inter = (
         ex.alias("l")

@@ -94,6 +94,75 @@ def ann_bucketed_pairs(
     return pairs.where(F.col("cos_sim") >= threshold)
 
 
+def ann_multitable_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs with multiple independent LSH tables:
+    a pair is a candidate if it collides in ANY table (union of per-table
+    bucket joins), then exact-cosine verified.  More tables -> higher
+    recall at the same per-table bucket granularity; the cross product
+    still never leaves a (table, bucket) — the shuffle key is
+    (table_id, bucket), high-cardinality and balanced.
+
+    Duplicate candidates (pairs colliding in several tables) fold in the
+    same aggregation that verifies them (groupBy pair, max of identical
+    cosines) — no separate distinct pass."""
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
+    dim = len(head[0])
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    stacked = v.select(
+        id_col,
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        hyperplane_lsh_bucket(
+                            F.col("__v"), make_hyperplanes(n_planes, dim, seed + t)
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "__v", F.col("tb.table_id"), F.col("tb.bucket"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.table_id") == F.col("r.table_id"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        cosine(F.col("l.__v"), F.col("r.__v")).alias("__c"),
+    )
+    folded = cand.groupBy("id_a", "id_b").agg(F.max("__c").alias("cos_sim"))
+    return folded.where(F.col("cos_sim") >= threshold)
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right double dot product — bit-identical to both
+    the Spark ``aggregate`` fold and DuckDB's ``list_dot_product``, so
+    driver-side probe selection agrees with an SQL oracle exactly."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (max cosine).  Centroids come from any off-line source; here a
@@ -123,13 +192,19 @@ def ivf_topk_to_query(
 ) -> DataFrame:
     """IVF search: probe the n_probe centroids nearest the query, scan only
     their inverted lists.  Recall < 1 by design; the brute-force variant is
-    the correctness baseline."""
-    import numpy as np
+    the correctness baseline.
 
-    qv = np.asarray(query, dtype=float)
-    cs = np.asarray(centroids, dtype=float)
-    sims = (cs @ qv) / (np.linalg.norm(cs, axis=1) * np.linalg.norm(qv) + 1e-12)
-    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    Probe selection uses sequential double math (``_seq_dot``) so an SQL
+    oracle computing the same cosines picks the identical probe lists
+    (ties break toward the lower centroid id on both sides)."""
+    import math
+
+    qn = math.sqrt(_seq_dot(query, query))
+    sims = []
+    for c in centroids:
+        denom = math.sqrt(_seq_dot(c, c)) * qn
+        sims.append(_seq_dot(c, query) / denom if denom else float("-inf"))
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
     assigned = ivf_assign(df, vec_col, id_col, centroids)
     shortlist = df.join(
         assigned.where(F.col("centroid_id").isin(probe)).select(id_col), on=id_col

@@ -121,9 +121,15 @@ def hex_hash64(col, seed: int | str = "") -> F.Column:
 
 @F.pandas_udf(T.LongType())
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash (base 257, mod 2^61-1) over the normalized
-    text — the classic Rabin–Karp document fingerprint, as a vectorized
-    Arrow kernel (no per-row Python at the Spark row level)."""
+    """Polynomial rolling hash (base 257, mod 2^61-1) over the Unicode
+    code points of the normalized text — the classic Rabin–Karp document
+    fingerprint, as a vectorized Arrow kernel (no per-row Python at the
+    Spark row level).
+
+    Defined over code points (not utf-8 bytes) so the oracle can
+    reproduce it exactly in ANSI SQL:
+    ``list_reduce(list_prepend(0, codepoints), (a,x) -> (a*257+x) % m)``.
+    """
     import re
 
     MOD = (1 << 61) - 1
@@ -134,8 +140,8 @@ def rolling_fingerprint(texts: pd.Series) -> pd.Series:
         if t is None:
             return None
         h = 0
-        for ch in ws.sub(" ", t.lower()).strip().encode("utf-8"):
-            h = (h * BASE + ch) % MOD
+        for ch in ws.sub(" ", t.lower()).strip():
+            h = (h * BASE + ord(ch)) % MOD
         return h
 
     return texts.map(one).astype("Int64")

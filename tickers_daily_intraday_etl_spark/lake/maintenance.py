@@ -24,7 +24,10 @@ from tickers_daily_intraday_etl_spark.lake.table import (
 
 def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict[str, Any]:
     """Rewrite buckets that have more than ``max_files_per_bucket`` live
-    files into one file each.  Metadata-only for untouched buckets."""
+    files into one file each.  Metadata-only for untouched buckets.
+    Merge-on-read delta files are FOLDED here (read_resolved applies the
+    LWW total order), so the rewritten buckets come out as plain base
+    files with one row per key again."""
     snap = table.log.snapshot()
     by_bucket: dict[int, list[dict]] = {}
     for a in snap.live_files.values():
@@ -33,7 +36,7 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict[str, Any]:
     if not fat:
         return {"compacted_buckets": 0, "files_removed": 0, "files_added": 0}
     buckets = sorted(fat)
-    df = table.read_raw(buckets=buckets).withColumn(BUCKET_COL, table.bucket_expr())
+    df = table.read_resolved(buckets=buckets).withColumn(BUCKET_COL, table.bucket_expr())
     new_adds = table._write_data(df, len(buckets))
     removes = [a["path"] for adds in fat.values() for a in adds]
     version = table._commit(new_adds, removes, table.stored_schema(), {"op": "compact"})
@@ -50,8 +53,13 @@ def purge_tombstones(table: LakeTable, lsn_low_water_mark: int) -> dict[str, Any
     mark — no change event with a lower LSN can ever arrive, so the
     tombstone can no longer lose an LWW comparison it needs to win."""
     snap = table.log.snapshot()
+    # read_resolved, NOT read_raw: on a merge-on-read table a raw scan
+    # still holds superseded row versions — purging a winning tombstone
+    # while a stale non-deleted version of the same key survives would
+    # resurrect it.  Resolution keeps only winners, so dropping a
+    # below-LWM tombstone is safe (nothing older can ever arrive).
     tombstoned = (
-        table.read_raw()
+        table.read_resolved()
         .where(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < lsn_low_water_mark))
         .select(table.bucket_expr().alias(BUCKET_COL))
         .distinct()
@@ -60,7 +68,7 @@ def purge_tombstones(table: LakeTable, lsn_low_water_mark: int) -> dict[str, Any
     buckets = sorted(r[BUCKET_COL] for r in tombstoned)
     if not buckets:
         return {"purged_buckets": 0, "version": snap.version}
-    keep = table.read_raw(buckets=buckets).where(
+    keep = table.read_resolved(buckets=buckets).where(
         ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < lsn_low_water_mark))
     )
     keep = keep.withColumn(BUCKET_COL, table.bucket_expr())
@@ -92,6 +100,8 @@ def vacuum(
     import time
 
     latest = table.log.latest_version()
+    if latest is None:  # empty log: nothing referenced, nothing to vacuum
+        return {"orphan_files": 0, "deleted": not dry_run}
     keep_versions = range(max(0, latest - retain_last_n_versions + 1), latest + 1)
     referenced: set[str] = set()
     for v in keep_versions:

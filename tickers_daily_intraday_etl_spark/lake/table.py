@@ -209,9 +209,30 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return df
 
+    def has_deltas(self, version: int | None = None) -> bool:
+        """True if any live file is a merge-on-read delta (holds candidate
+        row versions that must be LWW-resolved at read time)."""
+        snap = self.log.snapshot(version)
+        return any(a.get("kind") == "delta" for a in snap.live_files.values())
+
+    def read_resolved(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Stored rows with merge-on-read resolution applied: when delta
+        files are live, the winner per key is the max (lsn, commit_ts,
+        fingerprint) across base + all deltas — the SAME total order the
+        copy-on-write merge applies at write time, so a table is free to
+        mix modes batch-by-batch.  Without deltas this is read_raw (no
+        extra shuffle)."""
+        raw = self.read_raw(version, buckets=buckets)
+        if not self.has_deltas(version):
+            return raw
+        from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
+
+        return lww_winner(raw, self.key_col, LSN_COL, COMMIT_TS_COL)
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Current visible rows (tombstones filtered, internal cols dropped)."""
-        raw = self.read_raw(version)
+        """Current visible rows (MoR-resolved, tombstones filtered,
+        internal cols dropped)."""
+        raw = self.read_resolved(version)
         return raw.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
             LSN_COL, COMMIT_TS_COL, DELETED_COL
         )
@@ -221,9 +242,13 @@ class LakeTable:
         return set(snap.committed_batch_ids) if snap else set()
 
     # ------------------------------------------------------------ write side
-    def _write_data(self, df: DataFrame, n_buckets_touched: int) -> list[dict[str, Any]]:
+    def _write_data(
+        self, df: DataFrame, n_buckets_touched: int, kind: str = "base"
+    ) -> list[dict[str, Any]]:
         """Write df (must carry BUCKET_COL) into a fresh commit dir,
-        hive-partitioned by bucket; return add-records."""
+        hive-partitioned by bucket; return add-records.  ``kind='delta'``
+        marks merge-on-read files whose rows are candidate versions to be
+        LWW-resolved at read time (folded away by compaction)."""
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.path, commit_dir)
         shuffle_n = max(1, min(n_buckets_touched, int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
@@ -233,9 +258,9 @@ class LakeTable:
             .write.partitionBy(BUCKET_COL)
             .parquet(out_path)
         )
-        return self._scan_commit_dir(commit_dir)
+        return self._scan_commit_dir(commit_dir, kind=kind)
 
-    def _scan_commit_dir(self, commit_dir: str) -> list[dict[str, Any]]:
+    def _scan_commit_dir(self, commit_dir: str, kind: str = "base") -> list[dict[str, Any]]:
         import pyarrow.parquet as pq
 
         adds = []
@@ -253,6 +278,7 @@ class LakeTable:
                         "path": rel,
                         "bucket": bucket,
                         "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "kind": kind,
                     }
                 )
         return adds
@@ -263,6 +289,8 @@ class LakeTable:
         removes: list[str],
         schema: T.StructType,
         manifest: dict[str, Any] | None,
+        base_version: int | None = None,
+        affected_buckets: set[int] | None = None,
     ) -> int:
         """Optimistic-concurrency commit; returns the committed version.
 
@@ -271,7 +299,15 @@ class LakeTable:
         i.e. the interleaved commit touched disjoint buckets.  If a
         removed file is gone, our data files were computed against a
         stale snapshot and blindly committing would drop the other
-        writer's changes: raise instead (caller re-runs the merge)."""
+        writer's changes: raise instead (caller re-runs the merge).
+
+        The removes-still-live check cannot see ADD-ONLY interleavings
+        (an append, or a merge into a previously-empty bucket): the
+        concurrent files stay live while our rewrite of the same bucket
+        would duplicate any of their rows it copied from nowhere — so
+        when the caller passes its planning ``base_version`` +
+        ``affected_buckets``, any file that became live in an affected
+        bucket after the base snapshot also aborts the commit."""
         while True:
             snap = self.log.snapshot()
             version = snap.version + 1
@@ -282,6 +318,20 @@ class LakeTable:
                     f"rewritten by a concurrent commit (e.g. {missing[0]}); "
                     "recompute the merge against the current snapshot"
                 )
+            if base_version is not None and snap.version != base_version:
+                base_live = set(self.log.snapshot(base_version).live_files)
+                late = [
+                    p
+                    for p, a in snap.live_files.items()
+                    if p not in base_live
+                    and (affected_buckets is None or a["bucket"] in affected_buckets)
+                ]
+                if late:
+                    raise ConcurrentModificationError(
+                        f"{len(late)} file(s) were added to affected bucket(s) by a "
+                        f"concurrent commit after the planning snapshot v{base_version} "
+                        f"(e.g. {late[0]}); recompute the merge against the current snapshot"
+                    )
             # a concurrent commit may have evolved the canonical schema
             # after this merge was planned; publishing our stale schema
             # would null-fill the concurrent column away on every aligned

@@ -32,8 +32,15 @@ def surrogate_key(*cols: str, algo: str = "sha1") -> F.Column:
     ambiguity-prone ('a','bc' == 'ab','c') but is replicated exactly so
     hashes match an equivalent oracle expression.  ``algo='md5'`` is the
     oracle-parity variant (DuckDB has no sha1).
+
+    NULL contract: a NULL in ANY attribute yields a NULL key — the same
+    semantics as SQL's NULL-propagating ``||`` concatenation, so hash
+    parity with an oracle holds row-for-row.  (``concat_ws`` would
+    silently SKIP nulls instead, making ('a', NULL) collide with ('a',);
+    callers who want the reference's pandas ``str(None) == 'None'``
+    behavior must coalesce before hashing.)
     """
-    concat = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    concat = F.concat(*[F.col(c).cast("string") for c in cols])
     return F.md5(concat) if algo == "md5" else F.sha1(concat)
 
 
@@ -44,6 +51,7 @@ def scd2_apply(
     attr_cols: list[str],
     effective_date,
     hash_algo: str = "sha1",
+    attr_truncate: int | None = None,
 ) -> DataFrame:
     """Return the new dimension state after applying ``updates``.
 
@@ -51,8 +59,19 @@ def scd2_apply(
     is_current.  ``updates`` columns: key + attrs (one row per key).
     ``effective_date`` is the batch's business date (a date literal —
     nondeterministic now()/today() is kept out of the data path).
+
+    ``attr_truncate`` mirrors the reference's app-side VARCHAR(n)
+    truncation of incoming dim attributes before compare/insert
+    (reference: analytics/etl_dim_analytics.py:89, ``.str.slice(0,50)``):
+    every attribute of ``updates`` is cut to the first n characters, so
+    the surrogate key and the stored values both see the truncated form.
     """
     eff = F.lit(effective_date).cast("date")
+    if attr_truncate is not None:
+        updates = updates.select(
+            key_col,
+            *[F.substring(F.col(c), 1, attr_truncate).alias(c) for c in attr_cols],
+        )
     upd = updates.select(
         key_col,
         *attr_cols,

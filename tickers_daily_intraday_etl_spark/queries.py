@@ -286,9 +286,12 @@ _SCD2_SQL = """
              DATE '2024-01-01' AS date_from, DATE '2099-12-31' AS date_to, CAST(1.0 AS DOUBLE) AS is_current
       FROM documents
     ), upd AS (
+      -- app-side VARCHAR(50) truncation of incoming attrs (reference F8);
+      -- every 5th doc also over-lengthens lang so the cut is exercised
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END AS lang,
-             source
+             substr(CASE WHEN doc_id % 5 = 0
+                         THEN upper(lang) || repeat('x', 60) ELSE lang END, 1, 50) AS lang,
+             substr(source, 1, 50) AS source
       FROM documents
     ), upd_h AS (
       SELECT *, md5(doc_id || lang || source) AS subrogate_key FROM upd
@@ -313,8 +316,10 @@ _SCD2_SQL = """
 
 @register("scd2_dim", _SCD2_SQL)
 def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-2 merge: every 5th doc changes lang casing -> retire + insert;
-    others touch; surrogate keys via the md5 oracle-parity variant."""
+    """SCD-2 merge: every 5th doc changes lang (upper-cased + padded past
+    the VARCHAR(50) cut, exercising the app-side truncate — reference F8,
+    analytics/etl_dim_analytics.py:89) -> retire + insert; others touch;
+    surrogate keys via the md5 oracle-parity variant."""
     docs = load_table(spark, sf_dir, "documents")
     from tickers_daily_intraday_etl_spark.operators.scd2 import surrogate_key
 
@@ -328,10 +333,15 @@ def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("subrogate_key", surrogate_key("doc_id", "lang", "source", algo="md5"))
     updates = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.when(F.col("doc_id") % 5 == 0, F.upper("lang")).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.upper("lang"), F.lit("x" * 60)))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
         "source",
     )
-    out = scd2_apply(dim0, updates, "doc_id", ["lang", "source"], "2024-06-01", hash_algo="md5")
+    out = scd2_apply(
+        dim0, updates, "doc_id", ["lang", "source"], "2024-06-01",
+        hash_algo="md5", attr_truncate=50,
+    )
     return out.select(
         "doc_id",
         "lang",
@@ -480,9 +490,47 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup-injected corpus for the LSH/Jaccard/SimHash pair queries: the
+# base (every 5th doc) plus two variant families — append-whitespace
+# (identical after normalization -> exact near-dups) and drop-last-token
+# (high-but-<1 Jaccard) — so the pair oracles return non-trivial rows at
+# every SF instead of passing vacuously on 0 = 0.
+_NEAR_DOCS_SQL = f"""
+    neardocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(toks[1:len(toks) - 1], ' ') AS text
+      FROM (SELECT doc_id, {_NORM_TOKS_SQL} AS toks
+            FROM documents WHERE doc_id % 20 = 0)
+    )
+"""
+
+
+def _near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    ws_dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    toks = text.ws_tokens(text.normalize_text(F.col("text")))
+    dropped = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+    )
+    return base.unionByName(ws_dups).unionByName(dropped)
+
+
 _SHINGLE_CTE = f"""
+    {_NEAR_DOCS_SQL},
     norm AS (
-      SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM neardocs
     ), sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -502,8 +550,7 @@ def _minhash_sig_sql(n_hashes: int = 8) -> str:
 
 @register("minhash_signatures", _minhash_sig_sql())
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    return dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    return dedupe.minhash_signatures(_near_docs(spark, sf_dir), "text", "doc_id", n_hashes=8)
 
 
 def _lsh_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
@@ -524,19 +571,23 @@ def _lsh_pairs_sql(n_hashes: int = 8, bands: int = 4) -> str:
 
 @register("lsh_candidate_pairs", _lsh_pairs_sql())
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    sigs = dedupe.minhash_signatures(_near_docs(spark, sf_dir), "text", "doc_id", n_hashes=8)
     return dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+
+
+_JACCARD_MAX_DF = 100  # hot-shingle cap: stop-phrases would explode the self-join
 
 
 @register(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_JACCARD_MAX_DF}),
+    shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
-      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      FROM shc l JOIN shc r ON l.sh = r.sh AND l.doc_id < r.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -546,24 +597,33 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    out = dedupe.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    out = dedupe.ngram_jaccard_pairs(
+        _near_docs(spark, sf_dir), "text", "doc_id",
+        shingle_k=3, threshold=0.2, max_doc_freq=_JACCARD_MAX_DF,
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_body(source_sql: str, bits: int = 32) -> str:
+    """SimHash-signature SQL over ``source_sql`` (a relation with
+    doc_id, text) — CTE body, composable under an outer WITH."""
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
     )
     recon = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
     return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS tok FROM documents WHERE doc_id % 5 = 0
+    toks AS (
+      SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS tok FROM {source_sql}
     ), h AS (
       SELECT doc_id, ('0x' || substr(md5('simhash:' || tok), 1, 15))::BIGINT AS h FROM toks
-    ), s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-    SELECT doc_id, ({recon})::BIGINT AS simhash FROM s
+    ), s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, ({recon})::BIGINT AS simhash FROM s)
     """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    body = _simhash_body("documents WHERE doc_id % 5 = 0", bits)
+    return f"WITH {body} SELECT doc_id, simhash FROM sig"
 
 
 @register("simhash_32", _simhash_sql())
@@ -572,11 +632,71 @@ def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.simhash(docs, "text", "doc_id", bits=32)
 
 
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH {_NEAR_DOCS_SQL}, {_simhash_body('neardocs')}
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded SimHash near-dup pairs over the near-dup-injected
+    corpus.  With (max_hamming+1) chunks every pair within the distance
+    bound shares >= 1 chunk, so the banded equi-join finds EXACTLY the
+    pairs an all-pairs Hamming filter would — which is what the oracle
+    computes (the oracle needn't be scale-safe, only value-identical)."""
+    sigs = dedupe.simhash(_near_docs(spark, sf_dir), "text", "doc_id", bits=32)
+    out = dedupe.simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # -------------------------------------------------------------- similarity
 _COS_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+_EMB_DIM = 64  # testdata embeddings dimension (all SFs)
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Hyperplane-LSH bucket id in SQL, mirroring
+    similarity.hyperplane_lsh_bucket bit-for-bit: the plane literals are
+    repr()-round-tripped doubles and both engines evaluate the dot product
+    as a sequential left-to-right double fold."""
+    terms = []
+    for b, h in enumerate(planes):
+        lst = "[" + ",".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lst}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_planes(n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    return similarity.make_hyperplanes(n_planes, _EMB_DIM, seed)
+
+
+# dup-injected embedding corpus shared by the near-pair / ANN queries
+_AUG_EMB_SQL = """
+    aug AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+    )
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(dups)
 
 
 @register(
@@ -605,36 +725,32 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_pairs",
     f"""
-    WITH aug AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
-      UNION ALL
-      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
-    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
+    WITH {_AUG_EMB_SQL},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
+    b AS (SELECT vec_id, e,
+                 {_bucket_sql('e', _ann_planes(seed=42))} AS b0,
+                 {_bucket_sql('e', _ann_planes(seed=43))} AS b1
+          FROM v),
     pairs AS (
       SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL.format(a='l.e', b='r.e')} AS c
-      FROM v l JOIN v r ON l.vec_id < r.vec_id
+      FROM b l JOIN b r
+        ON l.vec_id < r.vec_id AND (l.b0 = r.b0 OR l.b1 = r.b1)
     )
     SELECT id_a, id_b, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.99
     """,
 )
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
-    dups = emb.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    """Embedding near-dup pairs via 2-table hyperplane LSH + exact-cosine
+    verify within bucket — the scale-safe formulation (the former exact
+    all-pairs cross join is O(n^2) shuffled pairs and survives only as the
+    small-N verification baseline in tests).  The hyperplanes are
+    deterministic literals, so the oracle applies the identical candidate
+    filter."""
+    out = similarity.ann_multitable_pairs(
+        _aug_embeddings(spark, sf_dir), "embedding", "vec_id",
+        n_planes=8, n_tables=2, seed=42, threshold=0.99,
     )
-    v = base.unionByName(dups).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    l, r = v.alias("l"), v.alias("r")
-    pairs = l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
-        F.col("l.vec_id").alias("id_a"),
-        F.col("r.vec_id").alias("id_b"),
-        similarity.cosine(F.col("l.e"), F.col("r.e")).alias("c"),
-    )
-    return pairs.where(F.col("c") >= 0.99).select(
-        "id_a", "id_b", F.round("c", 6).alias("cos_sim")
-    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 # ------------------------------------------------------------ OLAP classics
@@ -709,28 +825,89 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.table.read().select("doc_id", "n_tok", "source")
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: hyperplane-LSH near-dup pairs (recall < 1 by design)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
-    dups = emb.where(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH {_AUG_EMB_SQL},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
+    b AS (SELECT vec_id, e, {_bucket_sql('e', _ann_planes(seed=42))} AS bucket FROM v),
+    pairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL.format(a='l.e', b='r.e')} AS c
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
     )
-    aug = base.unionByName(dups)
-    return similarity.ann_bucketed_pairs(aug, "embedding", "vec_id", n_planes=8, threshold=0.99)
+    SELECT id_a, id_b, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.99
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: single-table hyperplane-LSH near-dup pairs
+    (recall < 1 by design — and the oracle applies the same bucket
+    filter, since the hyperplanes are deterministic literals)."""
+    pairs = similarity.ann_bucketed_pairs(
+        _aug_embeddings(spark, sf_dir), "embedding", "vec_id", n_planes=8, threshold=0.99
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+_IVF_ASSIGN_COS = _COS_SQL.format(a="v.e", b="c.ce")
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 4),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
+    cs AS (SELECT cid, {_COS_SQL.format(a='ce', b='qe')} AS s FROM c, q),
+    probe AS (SELECT cid FROM cs ORDER BY s DESC, cid LIMIT 2),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid) AS rn
+        FROM v, c) a WHERE rn = 1
+    ),
+    short AS (
+      SELECT v.vec_id, v.e FROM v JOIN assigned USING (vec_id)
+      WHERE assigned.cid IN (SELECT cid FROM probe)
+    ),
+    scored AS (SELECT vec_id, {_COS_SQL.format(a='e', b='qe')} AS csim FROM short, q)
+    SELECT vec_id, round(csim, 6) AS cos_sim FROM scored
+    ORDER BY csim DESC, vec_id LIMIT 10
+    """,
+)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-list search: centroids = embeddings of vec_id 0..3,
+    query = vec_id 5 — all data-derived, so the oracle recomputes the
+    same probe selection (sequential-double cosine, ties to lower cid)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    head = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    centroids = [[float(x) for x in r["embedding"]] for r in head[:4]]
-    query = [float(x) for x in head[5]["embedding"]]
-    return similarity.ivf_topk_to_query(emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2)
+    cents = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cents]
+    query = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    out = similarity.ivf_topk_to_query(
+        emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2
+    )
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+@register(
+    "doc_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT doc_id, md5(n) AS md5_fp,
+      CAST(list_reduce(
+        list_prepend(0::HUGEINT,
+          list_transform(regexp_extract_all(n, '.'), c -> unicode(c)::HUGEINT)),
+        (a, x) -> (a * 257 + x) % 2305843009213693951::HUGEINT) AS BIGINT) AS rolling_fp
+    FROM norm
+    """,
+)
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprint (vectorized pandas
-    UDF; no ANSI-SQL equivalent -> rows-only check)."""
+    UDF).  Defined over Unicode code points of the normalized text, so
+    the oracle folds the identical polynomial with list_reduce."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -740,17 +917,21 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media -> deterministic byte-histogram features (mapInPandas
+    plumbing; the codec itself is the declared sandbox stub).  The feature
+    vector is part of the graded output (csv-encoded, rounded) and pinned
+    exactly by a golden pytest."""
     from tickers_daily_intraday_etl_spark.functions import multimodal
 
-    media = multimodal.synthetic_media(spark, n=128)
-    return multimodal.extract_features(media).select("media_id", "kind", "n_bytes")
+    feats = multimodal.extract_features(multimodal.synthetic_media(spark, n=128))
+    fcsv = F.concat_ws(
+        ",", F.transform(F.col("features"), lambda x: F.round(x.cast("double"), 6).cast("string"))
+    )
+    return feats.select("media_id", "kind", "n_bytes", fcsv.alias("features_csv"))
 
 
 ROWS_ONLY_QUERIES = {
     "cdc_streaming_final_state": q_cdc_streaming_final_state,
-    "doc_fingerprints": q_doc_fingerprints,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 QUERIES.update(ROWS_ONLY_QUERIES)
@@ -785,9 +966,11 @@ def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- CAST: DuckDB's windowed sum(int) yields HUGEINT, which the
+      -- driver's hasher materializes as float64 — Spark's is BIGINT
       SELECT user_id, ts,
-        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*)::BIGINT AS n_events,

@@ -49,6 +49,7 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         feed_format: str = "parquet",
         compact_every: int | None = None,
+        merge_mode: str = "cow",
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -58,6 +59,9 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.feed_format = feed_format
         self.compact_every = compact_every
+        # 'mor' pairs naturally with compact_every: deltas accrue per
+        # micro-batch and compaction folds them on a cadence
+        self.merge_mode = merge_mode
         self._batches_applied = 0
         from tickers_daily_intraday_etl_spark.cdc import schemas as S
 
@@ -74,6 +78,7 @@ class CdcPipeline:
             batch_df,
             batch_id=batch_id,
             salt_partitions=self.salt_partitions,
+            mode=self.merge_mode,
         )
         self.lineage.append(manifest)
         if not manifest.get("skipped"):
@@ -108,9 +113,33 @@ class CdcPipeline:
         query.awaitTermination()
         return self.lineage
 
-    def reset_checkpoint(self) -> None:
-        """Full replay = fresh checkpoint (reference's `full` fetch mode)."""
+    def reset_checkpoint(self, reset_table: bool = True) -> None:
+        """Full replay = fresh checkpoint AND fresh table (reference's
+        `full` fetch mode).
+
+        Epoch fencing is checkpoint-scoped: batch ids restart at 0 under
+        a fresh checkpoint, and re-batching under maxFilesPerTrigger can
+        place DIFFERENT data under a batch id the old table has already
+        committed — the fence would then silently drop it.  A full replay
+        therefore requires a fresh table; ``reset_table=False`` is only
+        for callers replaying the byte-identical feed into a table they
+        reset themselves."""
         import shutil
 
         if os.path.exists(self.checkpoint_dir):
             shutil.rmtree(self.checkpoint_dir)
+        if reset_table:
+            if os.path.exists(self.table.path):
+                shutil.rmtree(self.table.path)
+            self.table = LakeTable.create_if_not_exists(
+                self.spark,
+                self.table.path,
+                self._fresh_schema(),
+                key_col=self.table.key_col,
+                num_buckets=self.table.num_buckets,
+            )
+
+    def _fresh_schema(self):
+        from tickers_daily_intraday_etl_spark.cdc import schemas as S
+
+        return T.StructType(S.payload_fields(self.feed_schema))
