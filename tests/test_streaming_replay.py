@@ -98,3 +98,37 @@ def test_n_tok_invariant(spark, feed, tmpdir_path):
     pipe.run_available_now()
     bad = pipe.table.read().where(F.size("tokens") != F.col("n_tok")).count()
     assert bad == 0
+
+
+def test_lineage_records_source_offsets(spark, feed, tmpdir_path):
+    """Every applied micro-batch's commit manifest must carry its source
+    offsets (input feed segments), per-bucket row counts, and the commit
+    snapshot id — the per-partition lineage record the pipeline emits."""
+    feed_dir, events = feed
+    pipe = CdcPipeline(
+        spark, feed_dir, os.path.join(tmpdir_path, "t"), os.path.join(tmpdir_path, "c"),
+        feed_schema=CDC_SCHEMA_V2, num_buckets=8, max_files_per_trigger=2,
+    )
+    lineage = pipe.run_available_now()
+    applied = [m for m in lineage if not m.get("skipped") and m.get("rows_in")]
+    assert applied
+    seen_files: list[str] = []
+    for m in applied:
+        assert m["n_input_files"] >= 1
+        assert len(m["input_files"]) == min(m["n_input_files"], 64)
+        assert all(f.endswith(".parquet") for f in m["input_files"])
+        assert "version" in m and m["rows_after"]  # snapshot id + per-bucket rows
+        seen_files.extend(m["input_files"])
+    # the batches together consumed every feed file exactly once
+    feed_files = sorted(
+        f for root, _d, fs in os.walk(feed_dir) for f in fs if f.endswith(".parquet")
+    )
+    assert sorted(seen_files) == feed_files
+    # and the lineage is durable: re-read the same records from the log
+    snap = pipe.table.log.snapshot()
+    from_log = [
+        pipe.table.log.read_entry(v).manifest
+        for v in range(1, snap.version + 1)
+    ]
+    logged = [m for m in from_log if m and m.get("n_input_files")]
+    assert len(logged) == len(applied)

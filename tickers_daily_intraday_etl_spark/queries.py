@@ -930,8 +930,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", fcsv.alias("features_csv"))
 
 
+def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch lineage records as a metrics DataFrame: source
+    offsets (input feed files), row counts, files written, affected
+    buckets, and the commit snapshot id — read back from the atomic
+    commit log, so the metrics ARE the durable manifests (rows-only:
+    the streaming runtime + commit log are not SQL-expressible)."""
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = _cdc_feed(docs)
+    run = _run_dir("lineage", sf_dir)
+    feed_dir = os.path.join(run, "feed")
+    for v in (1, 2, 3):
+        feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
+    pipe = CdcPipeline(
+        spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
+        feed_schema=CDC_SCHEMA, num_buckets=16, salt_partitions=4,
+        max_files_per_trigger=1,
+    )
+    pipe.run_available_now()
+    snap = pipe.table.log.snapshot()
+    rows = []
+    for v in range(1, snap.version + 1):
+        m = pipe.table.log.read_entry(v).manifest
+        if not m or m.get("rows_in") is None:
+            continue
+        rows.append(
+            (
+                int(m["batch_id"]),
+                int(m["rows_in"]),
+                int(v),
+                int(m.get("n_input_files", 0)),
+                int(m.get("files_added", 0)),
+                len(m.get("affected_buckets", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, rows_in long, version long, n_input_files long, "
+        "files_added long, n_affected_buckets long",
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "cdc_streaming_final_state": q_cdc_streaming_final_state,
+    "cdc_lineage_metrics": q_cdc_lineage_metrics,
     "multimodal_features": q_multimodal_features,
 }
 QUERIES.update(ROWS_ONLY_QUERIES)
