@@ -84,6 +84,42 @@ def run_cdc_throughput(spark, sf: float) -> dict:
     }
 
 
+def run_mor_sparse_bench(spark, sf: float) -> dict:
+    """Write-amplification microbench: seed a wide table, then apply small
+    update batches in CoW vs MoR mode.  Reports rows written per mode —
+    the metric that decides which mode a sparse-update feed should use."""
+    import tempfile
+
+    from tickers_daily_intraday_etl_spark.cdc.feedgen import generate_feed
+    from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+    from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, TARGET_SCHEMA
+    from tickers_daily_intraday_etl_spark.lake import LakeTable
+
+    n_docs = max(2_000, int(200_000 * sf))
+    base = generate_feed(n_events=n_docs * 2, n_docs=n_docs, seed=21, p_delete=0.0)
+    updates = generate_feed(n_events=max(200, n_docs // 50), n_docs=n_docs, seed=22, p_delete=0.0).copy()
+    updates["lsn"] = updates["lsn"] + 10_000_000
+    work = tempfile.mkdtemp(prefix="cdc_mor_bench_")
+    out: dict = {"seed_docs": n_docs, "update_events": len(updates)}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create_if_not_exists(
+            spark, os.path.join(work, mode), TARGET_SCHEMA, num_buckets=64
+        )
+        merge_into(t, spark.createDataFrame(base, schema=CDC_SCHEMA), batch_id=0, salt_partitions=8)
+        t0 = time.time()
+        merge_into(t, spark.createDataFrame(updates, schema=CDC_SCHEMA), batch_id=1,
+                   salt_partitions=8, mode=mode)
+        dt = time.time() - t0
+        snap = t.log.snapshot()
+        rows_written = sum(a["rows"] for a in t.log.read_entry(snap.version).adds)
+        out[mode] = {"update_sec": round(dt, 3), "rows_written": rows_written}
+    out["write_amplification_cow_over_mor"] = round(
+        out["cow"]["rows_written"] / max(out["mor"]["rows_written"], 1), 1
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -114,6 +150,8 @@ def main() -> None:
 
     cdc = run_cdc_throughput(spark, sf)
     log(f"cdc throughput: {cdc}")
+    mor = run_mor_sparse_bench(spark, sf)
+    log(f"mor sparse-update: {mor}")
 
     out = {
         "metric": "headline query wall time + CDC upsert throughput",
@@ -123,6 +161,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "cdc": cdc,
+        "mor_sparse": mor,
     }
     print(json.dumps(out))
 

@@ -121,6 +121,8 @@ def ann_multitable_pairs(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     stacked = v.select(
         id_col,
         "__v",
@@ -137,7 +139,9 @@ def ann_multitable_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, "__v", F.col("tb.table_id"), F.col("tb.bucket"))
+    ).select(id_col, "__v", F.col("tb.table_id"), F.col("tb.bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK  # both join sides re-dot 8*n_tables hyperplanes otherwise
+    )
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = l.join(
         r,
