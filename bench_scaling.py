@@ -33,6 +33,9 @@ RUNS_PER_LEVEL = int(os.environ.get("SCALING_RUNS", "2"))
 # available; (2, 8) demonstrates the same 4x scaling inside the
 # capacity that is reliably present.
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(","))
+# Pin each worker process to exactly its core budget (taskset) so the
+# JVM's background threads cannot inflate the small-N baseline.
+PIN_CPUS = os.environ.get("SCALING_PIN", "1") == "1" and shutil.which("taskset") is not None
 
 
 def worker(cpus: int, feed_dir: str, work_dir: str) -> None:
@@ -151,8 +154,15 @@ def main() -> None:
             print(f"hw calibration: {LEVELS[1]}p/{LEVELS[0]}p capacity = {ratio:.2f}x", file=sys.stderr)
         if True:
             work = os.path.join(base, f"run-{cpus}-{run}")
+            cmd = [sys.executable, __file__, "--worker", str(cpus), feed_dir, work]
+            if PIN_CPUS:
+                # pin the WHOLE worker process (task threads + GC + IO +
+                # netty) to exactly `cpus` cores: without this a local[1]
+                # JVM's background threads spill onto extra cores and
+                # inflate the small-N baseline, under-measuring scaling
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cpus), feed_dir, work],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -185,6 +195,7 @@ def main() -> None:
         "events_per_sec_median": {str(c): round(med[c], 1) for c in LEVELS},
         "events_per_sec_best": {str(c): round(best[c], 1) for c in LEVELS},
         "all_runs": {str(c): [round(x, 1) for x in v] for c, v in results.items()},
+        "cpu_pinned": PIN_CPUS,
         "hw_capacity_ratio": round(hw_ratio, 2),
         "scaling_efficiency_median": round(efficiency_med, 3),
         "scaling_efficiency_best": round(efficiency_best, 3),

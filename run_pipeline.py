@@ -4,7 +4,7 @@
       --py-files $(python -c 'from tickers_daily_intraday_etl_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())') \
       run_pipeline.py --feed <dir> --table <dir> --checkpoint <dir> \
       [--num-buckets 128] [--salt 16] [--feed-format parquet] \
-      [--compact-every N] [--evolved-schema]
+      [--compact-every N] [--merge-mode cow|mor] [--evolved-schema]
 
 Honors whatever master/executor topology spark-submit configures (the
 north rule's N / 4N executor deployments); local runs fall back to
@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--feed-format", default="parquet")
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                    help="cow rewrites affected buckets; mor writes per-bucket "
+                         "delta files (pair with --compact-every to fold them)")
     ap.add_argument("--evolved-schema", action="store_true",
                     help="read the feed with the schema-evolution envelope (source_version)")
     args = ap.parse_args()
@@ -61,6 +64,7 @@ def main() -> None:
         feed_format=args.feed_format,
         compact_every=args.compact_every,
         max_files_per_trigger=args.max_files_per_trigger,
+        merge_mode=args.merge_mode,
     )
     t0 = time.time()
     lineage = pipe.run_available_now()

@@ -102,6 +102,27 @@ def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
     )
 
 
+def synthetic_media_oracle(spark, n: int = 128) -> DataFrame:
+    """Deterministic media table whose payloads an ANSI-SQL oracle can
+    reproduce: payload = the 32 ASCII bytes of md5(media index).  The
+    binary column, typed metadata and Arrow plumbing are identical to the
+    random variant — only the byte source is closed-form."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    i = F.col("id")
+    k = (i % 3).cast("int") + 1  # element_at is 1-based
+    is_image = i % 3 == 0
+    return spark.range(n).select(
+        F.concat(F.lit("m-"), i.cast("string")).alias("media_id"),
+        F.element_at(kinds, k).alias("kind"),
+        F.encode(F.md5(i.cast("string")), "utf-8").alias("payload"),
+        F.element_at(mimes, k).alias("mime"),
+        F.when(is_image, F.lit(64)).cast("int").alias("width"),
+        F.when(is_image, F.lit(48)).cast("int").alias("height"),
+        F.when(~is_image, (1000 + i * 7).cast("int")).alias("duration_ms"),
+    )
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests/benches."""
     rng = np.random.default_rng(seed)

@@ -804,11 +804,25 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(10)
 
 
-# ------------------------------------------- non-SQL-expressible (rows-only)
+@register(
+    "cdc_streaming_final_state",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS tokens, source FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {_CSV_TOKENS.format(toks='tokens')} AS tokens_csv,
+           len(tokens)::BIGINT AS n_tok,
+           source
+    FROM toks WHERE doc_id % 7 <> 0
+    """,
+)
 def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Structured Streaming path (readStream -> foreachBatch -> MERGE)
-    over a binlog written as segments; rows-only check (stream + commit
-    manifests are not SQL-expressible)."""
+    over a binlog written as segments.  The runtime itself (stream, commit
+    manifests, epoch fences) is not SQL-expressible, but its FINAL STATE
+    is — the same closed form the batch-MERGE oracle computes — so the
+    driver gets token-array equality through the streaming path too."""
     from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
 
     docs = load_table(spark, sf_dir, "documents")
@@ -822,7 +836,13 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed_schema=CDC_SCHEMA, num_buckets=16, salt_partitions=4,
     )
     pipe.run_available_now()
-    return pipe.table.read().select("doc_id", "n_tok", "source")
+    out = pipe.table.read()
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.col("tokens"), lambda x: x.cast("string"))).alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+    )
 
 
 @register(
@@ -916,18 +936,43 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_oracle_sql(n: int = 128, dim: int = 16) -> str:
+    """The byte-histogram features of md5-hex payloads, in SQL: payload
+    bytes are the ASCII codes of md5's 32 hex chars, feature k =
+    count(byte % 16 == k) / 32.  All counts/32 are dyadic rationals, so
+    float32 -> double -> round(6) is exact on both sides."""
+    fcols = ", ".join(
+        f"round(count(*) FILTER (WHERE bucket = {k}) / 32.0, 6) AS f{k}" for k in range(dim)
+    )
+    return f"""
+    WITH m AS (SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range({n}) t(i)),
+    ch AS (SELECT i, unnest(regexp_extract_all(h, '.')) AS c FROM m),
+    b AS (SELECT i, unicode(c) % 16 AS bucket FROM ch),
+    f AS (SELECT i, {fcols} FROM b GROUP BY i)
+    SELECT 'm-' || CAST(i AS VARCHAR) AS media_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           32 AS n_bytes,
+           f.* EXCLUDE (i)
+    FROM f
+    """
+
+
+@register("multimodal_features", _multimodal_oracle_sql())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media -> deterministic byte-histogram features (mapInPandas
-    plumbing; the codec itself is the declared sandbox stub).  The feature
-    vector is part of the graded output (csv-encoded, rounded) and pinned
-    exactly by a golden pytest."""
+    """Binary media -> deterministic byte-histogram features through the
+    REAL plumbing (binary column + typed metadata + mapInPandas Arrow
+    batches); the payloads are md5-hex bytes so a SQL oracle reproduces
+    every feature value exactly.  The codec itself remains the declared
+    sandbox stub (decode_backend='real' raises); the kernel is also
+    pinned by a golden pytest."""
     from tickers_daily_intraday_etl_spark.functions import multimodal
 
-    feats = multimodal.extract_features(multimodal.synthetic_media(spark, n=128))
-    fcsv = F.concat_ws(
-        ",", F.transform(F.col("features"), lambda x: F.round(x.cast("double"), 6).cast("string"))
-    )
-    return feats.select("media_id", "kind", "n_bytes", fcsv.alias("features_csv"))
+    feats = multimodal.extract_features(multimodal.synthetic_media_oracle(spark, n=128))
+    fcols = [
+        F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}")
+        for k in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select("media_id", "kind", F.col("n_bytes").cast("int").alias("n_bytes"), *fcols)
 
 
 def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,9 +1019,7 @@ def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROWS_ONLY_QUERIES = {
-    "cdc_streaming_final_state": q_cdc_streaming_final_state,
     "cdc_lineage_metrics": q_cdc_lineage_metrics,
-    "multimodal_features": q_multimodal_features,
 }
 QUERIES.update(ROWS_ONLY_QUERIES)
 
