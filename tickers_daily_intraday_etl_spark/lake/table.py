@@ -261,27 +261,37 @@ class LakeTable:
         return self._scan_commit_dir(commit_dir, kind=kind)
 
     def _scan_commit_dir(self, commit_dir: str, kind: str = "base") -> list[dict[str, Any]]:
+        """Build add-records for the files a write produced.  The footer
+        reads are driver-side and there is one per bucket file (up to
+        num_buckets per commit) — done on a thread pool because a serial
+        Python loop here is a fixed per-commit cost that eats into
+        scaling (pyarrow releases the GIL for the I/O+decode)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        adds = []
+        paths: list[str] = []
         base = os.path.join(self.path, commit_dir)
         for root, _dirs, files in os.walk(base):
             for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, self.path)
-                bucket_part = [p for p in rel.split(os.sep) if p.startswith(f"{BUCKET_COL}=")]
-                bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
-                adds.append(
-                    {
-                        "path": rel,
-                        "bucket": bucket,
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                        "kind": kind,
-                    }
-                )
-        return adds
+                if name.endswith(".parquet"):
+                    paths.append(os.path.join(root, name))
+
+        def one(full: str) -> dict[str, Any]:
+            rel = os.path.relpath(full, self.path)
+            bucket_part = [p for p in rel.split(os.sep) if p.startswith(f"{BUCKET_COL}=")]
+            bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
+            return {
+                "path": rel,
+                "bucket": bucket,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "kind": kind,
+            }
+
+        if len(paths) <= 1:
+            return [one(p) for p in paths]
+        with ThreadPoolExecutor(min(16, len(paths))) as pool:
+            return list(pool.map(one, paths))
 
     def _commit(
         self,
