@@ -97,14 +97,83 @@ def merge_into(
 
     _t0 = _time.time()
 
-    # NB: the batch is scanned twice (stats pass + merge) and is NOT
-    # persisted on purpose: building the columnar cache for array-typed
-    # rows costs ~3x the merge itself in CPU (lock/GC contention at high
-    # parallelism, measured 19.7s vs 6.7s for a 4M-event batch at
-    # local[32]); a parquet/file-source rescan is far cheaper.
+    # NB: the batch is scanned twice in CoW mode (stats pass + merge) and
+    # is NOT persisted on purpose: building the columnar cache for
+    # array-typed rows costs ~3x the merge itself in CPU (lock/GC
+    # contention at high parallelism, measured 19.7s vs 6.7s for a
+    # 4M-event batch at local[32]); a parquet/file-source rescan is far
+    # cheaper.  MoR mode needs no separate pass at all (see below).
 
-    # -- 1. one stats pass: (op x bucket) counts => rows_in, op_counts,
-    #       affected buckets.  Small result (<= 3 * num_buckets rows).
+    # -- 1. pin the planning snapshot ONCE: schema, pruned target rows and
+    #       the removes list all come from the same version, and _commit
+    #       aborts if an affected bucket gained files after it (otherwise a
+    #       concurrent add-only commit's rows would be copied into our new
+    #       files while its own files stay live -> duplicate keys).
+    snap = table.log.snapshot()
+    current = table.stored_schema(version=snap.version)
+    incoming = T.StructType(S.payload_fields(changes.schema))
+    evolved = merge_schemas(current, incoming)
+
+    if mode == "mor":
+        # -- merge-on-read: ONE Spark job per batch.  No target read means
+        # no pre-merge bucket pruning is needed, so the stats pass fuses
+        # into the write via an Observation (rows_in / op counts collected
+        # while the data flows); the affected-bucket list falls out of the
+        # written files themselves.  In-batch LWW dedup is the same single
+        # shuffle as CoW, minus the target union; nothing is removed, so
+        # the commit is add-only and conflict-free.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = changes.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            *[
+                F.count(F.when(F.col(S.OP_COL) == o, 1)).alias(f"n_{o}")
+                for o in ("I", "U", "D")
+            ],
+        )
+        src = _to_stored_rows(observed, evolved).withColumn(BUCKET_COL, table.bucket_expr())
+        deduped = lww_winner(
+            src, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
+        )
+        _t_plan = _time.time()
+        new_adds = table._write_data(deduped, table.num_buckets, kind="delta")
+        _t_write = _time.time()
+        metrics = obs.get
+        rows_in = int(metrics["rows_in"])
+        if rows_in == 0:
+            # Conditional-skip sink (reference: staging/load_staging_data.py:38-48)
+            # — still record the epoch so the fence holds.
+            version = table._commit([], [], evolved, {"batch_id": batch_id, "rows_in": 0})
+            return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
+        op_counts = {o: int(metrics[f"n_{o}"]) for o in ("I", "U", "D") if metrics[f"n_{o}"]}
+        affected = sorted({a["bucket"] for a in new_adds})
+        lineage = {
+            "batch_id": batch_id,
+            "mode": "mor",
+            "rows_in": rows_in,
+            "timings_sec": {
+                "stats": 0.0,  # fused into the write via Observation
+                "plan": round(_t_plan - _t0, 3),
+                "write": round(_t_write - _t_plan, 3),
+            },
+            "op_counts": op_counts,
+            "affected_buckets": affected,
+            "files_removed": 0,
+            "files_added": len(new_adds),
+            "rows_written": sum(a["rows"] for a in new_adds),
+        }
+        if extra_manifest:
+            lineage.update(extra_manifest)
+        version = table._commit(new_adds, [], evolved, lineage)
+        lineage["version"] = version
+        lineage["skipped"] = False
+        return lineage
+
+    # -- 2. one stats pass: (op x bucket) counts => rows_in, op_counts,
+    #       affected buckets (CoW needs them BEFORE the merge, to prune
+    #       the target read).  Small result (<= 3 * num_buckets rows).
     stats = (
         changes.select(S.OP_COL, table.bucket_expr().alias(BUCKET_COL))
         .groupBy(S.OP_COL, BUCKET_COL)
@@ -125,49 +194,7 @@ def merge_into(
         return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
     affected = sorted(affected_set)
 
-    # -- 2. pin the planning snapshot ONCE: schema, pruned target rows and
-    #       the removes list all come from the same version, and _commit
-    #       aborts if an affected bucket gained files after it (otherwise a
-    #       concurrent add-only commit's rows would be copied into our new
-    #       files while its own files stay live -> duplicate keys).
-    snap = table.log.snapshot()
-    current = table.stored_schema(version=snap.version)
-    incoming = T.StructType(S.payload_fields(changes.schema))
-    evolved = merge_schemas(current, incoming)
-
     src = _to_stored_rows(changes, evolved).withColumn(BUCKET_COL, table.bucket_expr())
-
-    if mode == "mor":
-        # -- 3'. merge-on-read: in-batch LWW dedup only (same single
-        # shuffle, minus the target union), written as DELTA files;
-        # nothing is removed, so the commit is add-only and conflict-free.
-        deduped = lww_winner(
-            src, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
-        )
-        _t_plan = _time.time()
-        new_adds = table._write_data(deduped, len(affected), kind="delta")
-        _t_write = _time.time()
-        lineage = {
-            "batch_id": batch_id,
-            "mode": "mor",
-            "rows_in": rows_in,
-            "timings_sec": {
-                "stats": round(_t_stats - _t0, 3),
-                "plan": round(_t_plan - _t_stats, 3),
-                "write": round(_t_write - _t_plan, 3),
-            },
-            "op_counts": op_counts,
-            "affected_buckets": affected,
-            "files_removed": 0,
-            "files_added": len(new_adds),
-            "rows_written": sum(a["rows"] for a in new_adds),
-        }
-        if extra_manifest:
-            lineage.update(extra_manifest)
-        version = table._commit(new_adds, [], evolved, lineage)
-        lineage["version"] = version
-        lineage["skipped"] = False
-        return lineage
 
     # -- 3. bucket pruning + fused union/LWW winner (single shuffle)
     old_adds = [a for a in snap.live_files.values() if a["bucket"] in affected_set]
