@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-def _submit(feed, table, ckpt):
+def _submit(feed, table, ckpt, *extra):
     cmd = [
         SPARK_SUBMIT, "--master", "local[4]",
         "--conf", "spark.ui.enabled=false",
@@ -26,6 +26,7 @@ def _submit(feed, table, ckpt):
         os.path.join(REPO, "run_pipeline.py"),
         "--feed", feed, "--table", table, "--checkpoint", ckpt,
         "--num-buckets", "8", "--salt", "4", "--max-files-per-trigger", "2",
+        *extra,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True, timeout=300)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -61,3 +62,30 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmpdir_path):
     rec2 = _submit(feed, table, ckpt)
     assert rec2["rows_in"] == 0
     assert rec2["table_version"] == rec["table_version"]
+
+
+def test_spark_submit_merge_mode_mor(spark, tmpdir_path):
+    """The --merge-mode mor deploy path: delta-file merges through
+    spark-submit, folded by --compact-every, oracle-identical state."""
+    feed = os.path.join(tmpdir_path, "feed")
+    table = os.path.join(tmpdir_path, "table")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    events = generate_feed(n_events=800, n_docs=60, seed=6)
+    write_feed_segments(events, feed, n_segments=3)
+
+    rec = _submit(feed, table, ckpt, "--merge-mode", "mor", "--compact-every", "2")
+    assert rec["rows_in"] == len(events)
+
+    from tickers_daily_intraday_etl_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, table)
+    got = {
+        r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+        for r in t.read().collect()
+    }
+    oracle = final_state_frame(events)
+    exp = {
+        r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+        for _, r in oracle.iterrows()
+    }
+    assert got == exp
