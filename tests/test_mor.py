@@ -112,6 +112,29 @@ def test_mor_write_volume_below_cow_on_sparse_updates(spark, tmpdir_path):
     assert _tokens_map(t_cow.read()) == _tokens_map(t_mor.read())
 
 
+def test_mor_schema_evolution(spark, tmpdir_path):
+    """Delta files written before and after an add-column evolution must
+    read back aligned (old winners NULL-filled) and LWW-resolve across
+    the schema boundary."""
+    from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA_V2
+
+    events = generate_feed(n_events=800, n_docs=60, seed=17, evolve_at=0.5)
+    table = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "evo"), TARGET_SCHEMA, num_buckets=4
+    )
+    half = len(events) // 2
+    pre = events.iloc[:half].drop(columns=["source_version"])
+    post = events.iloc[half:]
+    merge_into(table, spark.createDataFrame(pre, schema=CDC_SCHEMA), batch_id=0, mode="mor")
+    merge_into(table, spark.createDataFrame(post, schema=CDC_SCHEMA_V2), batch_id=1, mode="mor")
+    assert table.has_deltas()
+    out = table.read()
+    assert "source_version" in out.columns
+    assert out.where(F.col("source_version").isNull()).count() > 0   # pre-evo winners
+    assert out.where(F.col("source_version").isNotNull()).count() > 0
+    assert _tokens_map(out) == _oracle_map(events)
+
+
 def test_purge_does_not_resurrect_superseded_rows(spark, tmpdir_path):
     """Key k: insert (lsn 1) via MoR, delete (lsn 2) via MoR; purge with
     LWM 10 removes the tombstone — the stale lsn-1 row must NOT come back."""

@@ -34,10 +34,11 @@ from tickers_daily_intraday_etl_spark.lake import LakeTable
     n_batches=st.integers(1, 4),
     num_buckets=st.sampled_from([1, 4, 16]),
     salt=st.sampled_from([0, 4]),
+    modes=st.sampled_from([("cow",), ("mor",), ("cow", "mor"), ("mor", "cow")]),
 )
 def test_engine_matches_oracle_on_random_feeds(
     spark, tmpdir_path, seed, n_events, n_docs, p_delete, p_duplicate, p_lsn_tie,
-    n_batches, num_buckets, salt,
+    n_batches, num_buckets, salt, modes,
 ):
     events = generate_feed(
         n_events=n_events, n_docs=n_docs, seed=seed,
@@ -51,7 +52,8 @@ def test_engine_matches_oracle_on_random_feeds(
     for b in range(n_batches):
         chunk = events.iloc[bounds[b] : bounds[b + 1]]
         sdf = spark.createDataFrame(chunk, schema=CDC_SCHEMA)  # Arrow path
-        merge_into(table, sdf, batch_id=b, salt_partitions=salt)
+        merge_into(table, sdf, batch_id=b, salt_partitions=salt,
+                   mode=modes[b % len(modes)])
 
     got = {
         r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
