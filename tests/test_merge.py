@@ -176,3 +176,64 @@ def test_merge_schema_widening_int_to_long(spark, tmpdir_path):
     assert t.user_schema()["n_tok"].dataType == T.LongType()
     out = {r.doc_id: r.n_tok for r in t.read().collect()}
     assert out == {"a": 1, "b": big}
+
+
+def test_merge_retries_after_concurrent_conflict(spark, tmpdir_path):
+    """An interleaved commit into an affected bucket aborts the first
+    attempt (ConcurrentModificationError); merge_into re-plans against
+    the new snapshot and converges — the interleaved writer's rows and
+    the batch's rows both survive."""
+    from tickers_daily_intraday_etl_spark.lake.table import ConcurrentModificationError
+
+    table = _table(spark, tmpdir_path, num_buckets=1)  # everything in one bucket
+    merge_into(table, spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA),
+               batch_id=0)
+
+    other = LakeTable.load(spark, table.path)
+    real_commit = table._commit
+    fired = {"n": 0}
+    commit_calls = {"n": 0}
+
+    def racing_commit(*args, **kwargs):
+        commit_calls["n"] += 1
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # another writer lands an ADD-ONLY (merge-on-read) commit into
+            # the same bucket between our planning snapshot and our commit:
+            # the removes-still-live check cannot see it — this exercises
+            # the base_version late-file detection branch
+            merge_into(other, spark.createDataFrame(
+                [_ev("I", "b", 2, tokens=[2])], CDC_SCHEMA), batch_id="race", mode="mor")
+        return real_commit(*args, **kwargs)
+
+    table._commit = racing_commit
+    try:
+        m = merge_into(table, spark.createDataFrame(
+            [_ev("I", "c", 3, tokens=[3])], CDC_SCHEMA), batch_id=1)
+    finally:
+        table._commit = real_commit
+    assert not m.get("skipped")
+    # the conflict really fired: first attempt aborted, second committed
+    assert commit_calls["n"] == 2
+    assert _state(table) == {"a": [1], "b": [2], "c": [3]}
+
+    # with retries disabled the same race propagates
+    fired["n"] = 0
+
+    def racing_commit2(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            merge_into(other, spark.createDataFrame(
+                [_ev("I", "d", 4, tokens=[4])], CDC_SCHEMA), batch_id="race2")
+        return real_commit(*args, **kwargs)
+
+    table._commit = racing_commit2
+    try:
+        import pytest
+
+        with pytest.raises(ConcurrentModificationError):
+            merge_into(table, spark.createDataFrame(
+                [_ev("I", "e", 5, tokens=[5])], CDC_SCHEMA),
+                batch_id=2, max_conflict_retries=0)
+    finally:
+        table._commit = real_commit

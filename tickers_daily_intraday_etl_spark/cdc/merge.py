@@ -68,6 +68,7 @@ def merge_into(
     salt_partitions: int = 0,
     extra_manifest: dict[str, Any] | None = None,
     mode: str = "cow",
+    max_conflict_retries: int = 2,
 ) -> dict[str, Any]:
     """Apply one change batch exactly-once. Returns the lineage manifest.
 
@@ -87,7 +88,36 @@ def merge_into(
       base files.  The right choice when batches touch a small fraction
       of rows per bucket — the main write-amplification risk of CoW at
       10^10-event scale.  Modes can be mixed batch-by-batch on one table.
+
+    ``max_conflict_retries``: a ConcurrentModificationError means another
+    writer changed an affected bucket between this merge's planning
+    snapshot and its commit; the merge is simply RE-PLANNED against the
+    new snapshot (the whole function is a pure function of table state +
+    batch, and the epoch fence re-check makes the retry replay-safe).
+    After the retries are exhausted the error propagates.
     """
+    from tickers_daily_intraday_etl_spark.lake.table import ConcurrentModificationError
+
+    attempt = 0
+    while True:
+        try:
+            return _merge_once(
+                table, changes, batch_id, salt_partitions, extra_manifest, mode
+            )
+        except ConcurrentModificationError:
+            if attempt >= max_conflict_retries:
+                raise
+            attempt += 1
+
+
+def _merge_once(
+    table: LakeTable,
+    changes: DataFrame,
+    batch_id: Any,
+    salt_partitions: int,
+    extra_manifest: dict[str, Any] | None,
+    mode: str,
+) -> dict[str, Any]:
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     import time as _time
