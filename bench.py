@@ -76,11 +76,27 @@ def run_cdc_throughput(spark, sf: float) -> dict:
     pipe.run_available_now()
     dt = time.time() - t0
     total = len(events)
+    # second variant: the same feed drained as ONE micro-batch — the
+    # steady-state number (per-file batches above are fixed-cost bound;
+    # at 10^10 events real batches are segment-sized, not file-sized)
+    pipe_big = CdcPipeline(
+        spark,
+        feed_dir,
+        os.path.join(work, "table-big"),
+        os.path.join(work, "ckpt-big"),
+        num_buckets=64,
+        salt_partitions=8,
+    )
+    t0 = time.time()
+    pipe_big.run_available_now()
+    dt_big = time.time() - t0
     shutil.rmtree(work, ignore_errors=True)
     return {
         "events": total,
         "sec": round(dt, 3),
         "events_per_sec": round(total / dt, 1),
+        "single_batch_sec": round(dt_big, 3),
+        "single_batch_events_per_sec": round(total / dt_big, 1),
     }
 
 
