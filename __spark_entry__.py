@@ -46,11 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query.  The only rows-only entries
-    (no oracle) are `cdc_lineage_metrics` (reads the engine's own commit
-    log) and `multimodal_features` (payloads synthesized Spark-side) —
-    everything else, including the streaming CDC final state and the
-    LSH/IVF approximate-search paths, is oracle-checked."""
+    """DuckDB-runnable ANSI SQL per query.  The only rows-only entry
+    (no oracle) is `cdc_lineage_metrics`, which reads the engine's own
+    commit log — everything else, including the streaming CDC final
+    state, the LSH/IVF approximate-search paths, the multimodal feature
+    extraction and the iterative dup-cluster components (recursive-CTE
+    oracle), is oracle-checked."""
     from tickers_daily_intraday_etl_spark.queries import ORACLES
 
     return dict(ORACLES)

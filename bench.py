@@ -38,6 +38,7 @@ HEADLINE = [
     "exact_dup_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "dup_clusters",
     "ngram_jaccard_pairs",
     "simhash_32",
     "simhash_near_pairs",
@@ -173,7 +174,8 @@ def main() -> None:
     # sum is not comparable across rounds, so also report the sum over the
     # original query set.
     r01_set = [n for n in HEADLINE if n not in
-               ("simhash_near_pairs", "ann_lsh_topk", "ivf_topk", "doc_fingerprints")]
+               ("simhash_near_pairs", "ann_lsh_topk", "ivf_topk", "doc_fingerprints",
+                "dup_clusters")]
     out = {
         "metric": "headline query wall time + CDC upsert throughput",
         "value": round(sum(timings.values()), 3),

@@ -239,6 +239,19 @@ def test_jaccard_hot_shingle_cap(spark):
     assert uncapped.count() == 45  # all C(10,2) pairs via the stop shingle
 
 
+def test_connected_components_multi_hop(spark):
+    """Chain a-b, b-c plus an isolated node: the fixpoint must label the
+    whole chain with min(a) (requires >1 propagation round) and leave the
+    isolated node as its own cluster."""
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2)], "id_a long, id_b long"  # a path: 1-2-3-4
+    )
+    out = {r.doc_id: r.cluster_id for r in
+           dedupe.connected_components(nodes, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
 def test_ann_multitable_recall_superset_of_single_table(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((24, 8)).tolist()

@@ -175,6 +175,64 @@ def ngram_jaccard_pairs(
     )
 
 
+# --------------------------------------------------- connected components
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate-CLUSTER assignment: label propagation to a fixpoint.
+
+    ``nodes``: one row per document id; ``pairs``: undirected candidate
+    edges (id_a, id_b) from any near-dup family.  Returns (id, cluster_id)
+    where cluster_id = the minimum id reachable in the pair graph — the
+    canonical representative every dedup "apply" stage keys on.
+
+    Each iteration is one broadcast-free equi-join + min-aggregation over
+    (edges ∪ self-loops); iterations run until NO label changes, so the
+    result is the exact transitive fixpoint (matches a recursive-CTE
+    oracle).  Iteration count is bounded by the component diameter —
+    near-dup clusters are shallow (dup rings, not paths), so 2-4 rounds
+    in practice; ``max_iters`` is a runaway guard.  At 10^10-node scale
+    swap the propagation for the large-star/small-star variant (same
+    fixpoint, O(log n) rounds); the per-round shuffle key (the node id)
+    is identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        neighbor_lbl = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbl)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 # ----------------------------------------------------------------- SimHash
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash over whitespace tokens with the oracle-parity token hash.

@@ -621,6 +621,39 @@ def _simhash_body(source_sql: str, bits: int = 32) -> str:
     """
 
 
+@register(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE
+    edges AS ({_lsh_pairs_sql()}),
+    {_NEAR_DOCS_SQL},
+    nodes AS (SELECT doc_id FROM neardocs),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    lab(id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT s.src, l.lbl FROM sym s JOIN lab l ON l.id = s.dst
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: LSH candidate pairs -> connected components
+    (iterative label propagation to the exact fixpoint; the oracle is the
+    equivalent recursive CTE).  cluster_id = min doc_id reachable in the
+    pair graph — the canonical id dedup 'apply' stages key on.  This is
+    the engine's iterative-algorithm representative: a driver loop of
+    join+min-agg rounds, terminating when no label changes."""
+    docs = _near_docs(spark, sf_dir)
+    sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    pairs = dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+    return dedupe.connected_components(docs.select("doc_id"), pairs, "doc_id")
+
+
 def _simhash_sql(bits: int = 32) -> str:
     body = _simhash_body("documents WHERE doc_id % 5 = 0", bits)
     return f"WITH {body} SELECT doc_id, simhash FROM sig"
