@@ -654,6 +654,43 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.connected_components(docs.select("doc_id"), pairs, "doc_id")
 
 
+@register(
+    "dedup_apply_clusters",
+    f"""
+    WITH RECURSIVE
+    edges AS ({_lsh_pairs_sql()}),
+    {_NEAR_DOCS_SQL},
+    nodes AS (SELECT doc_id FROM neardocs),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    lab(id, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT s.src, l.lbl FROM sym s JOIN lab l ON l.id = s.dst
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id)
+    SELECT d.doc_id, length(d.text)::BIGINT AS text_len
+    FROM neardocs d JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id = d.doc_id
+    """,
+)
+def q_dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'apply' side of cluster dedup: keep exactly the canonical
+    (min-id) document of every near-dup cluster — detect (LSH) ->
+    cluster (connected components) -> apply (semi-join on canonical)."""
+    docs = _near_docs(spark, sf_dir)
+    sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    pairs = dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
+    clusters = dedupe.connected_components(docs.select("doc_id"), pairs, "doc_id")
+    keep = clusters.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    return docs.join(keep, "doc_id").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+
+
 def _simhash_sql(bits: int = 32) -> str:
     body = _simhash_body("documents WHERE doc_id % 5 = 0", bits)
     return f"WITH {body} SELECT doc_id, simhash FROM sig"
