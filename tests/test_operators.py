@@ -149,6 +149,52 @@ def test_scd2_idempotent_reapply(spark):
     assert once.count() == twice.count() == 2  # re-apply inserts nothing new
 
 
+def test_scd2_null_attr_retires_not_drops(spark):
+    """A NULL attribute NULLs the surrogate hash; plain !=/== comparisons
+    are NULL on both retire and touch predicates, silently dropping the
+    current row while the anti-join re-inserts a NULL-keyed row every
+    batch.  The null-safe comparisons must retire the old version exactly
+    once and stay idempotent on re-apply."""
+    dim0 = spark.createDataFrame([_dim_row("A", "x", "1"), _dim_row("B", "y", "2")]).withColumn(
+        "subrogate_key", surrogate_key("ticker", "attr_a", "attr_b")
+    )
+    updates = spark.createDataFrame(
+        [Row(ticker="A", attr_a=None, attr_b="1"),  # NULL attr -> retire + insert
+         Row(ticker="B", attr_a="y", attr_b="2")],  # unchanged -> touch
+        "ticker string, attr_a string, attr_b string",
+    )
+    once = scd2_apply(dim0, updates, "ticker", ["attr_a", "attr_b"], "2024-06-01")
+    rows = {(r.ticker, r.is_current): r for r in once.collect()}
+    assert len(rows) == 3  # A retired + A new-current + B touched
+    assert rows[("A", 0.0)].attr_a == "x"  # history kept, not dropped
+    assert rows[("A", 0.0)].date_to == dt.date(2024, 5, 31)
+    assert rows[("A", 1.0)].attr_a is None and rows[("A", 1.0)].subrogate_key is None
+    assert rows[("B", 1.0)].attr_a == "y"
+    # idempotent: the NULL-hash current row must match itself on re-apply
+    twice = scd2_apply(once, updates, "ticker", ["attr_a", "attr_b"], "2024-06-01")
+    assert twice.count() == 3
+    cur = twice.where(F.col("is_current") == 1.0).groupBy("ticker").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_null_hash_does_not_cross_keys(spark):
+    """Two different keys both carrying NULL hashes must not swallow each
+    other's inserts: the anti-join is keyed by (key, null-safe hash)."""
+    dim0 = spark.createDataFrame(
+        [_dim_row("A", None, "1")],
+        "ticker string, attr_a string, attr_b string, "
+        "date_from date, date_to date, is_current double",
+    ).withColumn("subrogate_key", surrogate_key("ticker", "attr_a", "attr_b"))
+    updates = spark.createDataFrame(
+        [Row(ticker="Z", attr_a=None, attr_b="9")],
+        "ticker string, attr_a string, attr_b string",
+    )
+    out = scd2_apply(dim0, updates, "ticker", ["attr_a", "attr_b"], "2024-06-01")
+    rows = {r.ticker: r for r in out.collect()}
+    assert set(rows) == {"A", "Z"}  # Z inserted despite A's NULL hash
+    assert rows["Z"].is_current == 1.0
+
+
 # ------------------------------------------------------------------- argmax
 def test_argmax_first_max_tie_break(spark):
     df = spark.createDataFrame(

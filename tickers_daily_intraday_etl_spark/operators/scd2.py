@@ -91,20 +91,34 @@ def scd2_apply(
     marked = cur.join(
         F.broadcast(upd_keys), (F.col(key_col) == F.col("__k")), "left"
     )
+    # NULL-safe hash comparisons: surrogate_key propagates NULL attrs to a
+    # NULL hash (see above), and a plain !=/== against a NULL hash is NULL —
+    # which would drop the current row from BOTH branches (silent history
+    # loss) while the anti-join re-inserts it every batch.  eqNullSafe makes
+    # retire/touch/insert a partition of the key space again: NULL-vs-value
+    # retires, NULL-vs-NULL touches, and the re-run is idempotent.
     retired = (
-        marked.where(F.col("__k").isNotNull() & (F.col("subrogate_key") != F.col("__sk")))
+        marked.where(
+            F.col("__k").isNotNull() & ~F.col("subrogate_key").eqNullSafe(F.col("__sk"))
+        )
         .drop("__k", "__sk")
         .withColumn("is_current", F.lit(0.0))
         .withColumn("date_to", F.date_sub(eff, 1))  # yesterday (ref :163)
     )
-    unchanged = marked.where(F.col("__k").isNull() | (F.col("subrogate_key") == F.col("__sk"))).drop(
-        "__k", "__sk"
-    )
+    unchanged = marked.where(
+        F.col("__k").isNull() | F.col("subrogate_key").eqNullSafe(F.col("__sk"))
+    ).drop("__k", "__sk")
     # insert new versions only for keys that are new or changed
-    # (anti join on subrogate_key — reference :177-210 NOT EXISTS)
+    # (reference :177-210 NOT EXISTS on the hash; the hash already encodes
+    # the key, so adding the key equi-condition changes nothing for
+    # non-NULL hashes — but it stops a NULL-hash update of key A from
+    # being swallowed by an unrelated NULL-hash current row of key B)
     inserts = upd.join(
-        cur.select(F.col("subrogate_key").alias("__existing")),
-        upd["subrogate_key"] == F.col("__existing"),
+        cur.select(
+            F.col(key_col).alias("__ek"), F.col("subrogate_key").alias("__existing")
+        ),
+        (upd[key_col] == F.col("__ek"))
+        & upd["subrogate_key"].eqNullSafe(F.col("__existing")),
         "left_anti",
     )
     cols = dim.columns
