@@ -122,6 +122,52 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_64_bits_and_near_pairs(spark):
+    base = "spark streaming merge upsert lake table commit manifest lineage tokens"
+    near = base.replace("tokens", "token")
+    df = spark.createDataFrame([Row(doc_id=1, t=base), Row(doc_id=2, t=near)])
+    sig = dedupe.simhash(df, "t", "doc_id")  # default 64-bit
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    # 60 informative bits (hex_hash64), top 4 structurally zero, never negative
+    assert all(0 <= v < (1 << 60) for v in vals.values())
+    assert any(v >= (1 << 32) for v in vals.values())  # actually uses >32 bits
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedupe.simhash_near_pairs(sig, "doc_id", max_hamming=12).collect()}
+    assert pairs[(1, 2)] == bin(vals[1] ^ vals[2]).count("1")
+
+
+def test_simhash_band_occupancy_subquadratic(spark):
+    """The pigeonhole band keyspace must not STRUCTURALLY collapse:
+    mutually-unrelated docs (random token sets) should spread across the
+    (chunk_id, chunk) buckets, keeping within-bucket join work near-linear.
+    At 32 bits the 8-bit chunks (256 values) force ~n/256 unrelated docs
+    into every bucket; at 64 bits the 16-bit chunks must spread them —
+    this is exactly the difference that makes 10^9-doc corpora feasible."""
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(doc_id=i, t=" ".join(f"w{x}" for x in rng.integers(0, 200000, 12)))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def join_work(bits: int) -> int:
+        chunks = 4
+        chunk_bits = bits // chunks
+        mask = (1 << chunk_bits) - 1
+        occ: dict = {}
+        for r in dedupe.simhash(df, "t", "doc_id", bits=bits).collect():
+            for c in range(chunks):
+                key = (c, (r.simhash >> (c * chunk_bits)) & mask)
+                occ[key] = occ.get(key, 0) + 1
+        return sum(v * v for v in occ.values())
+
+    n = 3000 * 4  # rows in the banded relation
+    w64 = join_work(64)
+    w32 = join_work(32)
+    assert w64 < 3 * n, w64        # 16-bit chunks: near-perfect spread
+    assert w32 > 10 * w64, (w32, w64)  # 8-bit chunks: structural pile-up
+
+
 # ---------------------------------------------------------------- similarity
 def test_cosine_topk_brute_force(spark):
     rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
@@ -252,6 +298,35 @@ def test_connected_components_multi_hop(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
 
 
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 64-node near-dup chain (the template-page shape common in web
+    corpora) is the worst case for plain label propagation (~63 rounds,
+    one per hop).  Large-star/small-star must still produce the exact
+    fixpoint AND converge in O(log n) rounds."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = {r.doc_id: r.cluster_id for r in
+           dedupe.connected_components(nodes, pairs, "doc_id", stats=stats).collect()}
+    assert out == {i: 0 for i in range(n)}
+    # log2(64) = 6; allow constant-factor slack but far below diameter (63)
+    assert stats["rounds"] <= 12, stats
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """Exhausting max_iters must raise, not silently return non-fixpoint
+    labels that diverge from the recursive-CTE oracle."""
+    nodes = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(nodes, pairs, "doc_id", max_iters=1)
+
+
 def test_ann_multitable_recall_superset_of_single_table(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((24, 8)).tolist()
@@ -266,6 +341,43 @@ def test_ann_multitable_recall_superset_of_single_table(spark):
                                              n_tables=2, seed=42, threshold=0.99).collect()}
     assert single <= multi       # extra tables only ADD candidates
     assert (1, 200) in multi     # exact dups always collide (every table)
+
+
+def test_ann_multiprobe_recall_superset(spark):
+    """Multiprobe (Hamming-1 neighbor buckets) only ADDS candidates over
+    the exact-bucket join, and recovers near-pairs split by one plane."""
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 8))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    # near-dup at cosine ~0.999: likely split across a plane at 12 planes
+    rows.append(Row(vec_id=300, embedding=[float(x) for x in (vecs[2] + 0.02 * rng.standard_normal(8))]))
+    df = spark.createDataFrame(rows)
+    plain = {(r.id_a, r.id_b) for r in
+             similarity.ann_bucketed_pairs(df, "embedding", "vec_id", n_planes=12,
+                                           seed=1, threshold=0.9).collect()}
+    probed = {(r.id_a, r.id_b) for r in
+              similarity.ann_bucketed_pairs(df, "embedding", "vec_id", n_planes=12,
+                                            seed=1, threshold=0.9, multiprobe=12).collect()}
+    assert plain <= probed
+    # brute-force ground truth: every >=0.9 pair multiprobe found is real
+    brute = {(r.id_a, r.id_b) for r in
+             similarity.ann_bucketed_pairs(df, "embedding", "vec_id", n_planes=0,
+                                           seed=1, threshold=0.9).collect()}
+    assert probed <= brute
+
+
+def test_planes_for_corpus_occupancy_bound(spark):
+    assert similarity.planes_for_corpus(10, 64) == 4          # floor
+    assert similarity.planes_for_corpus(10**9, 64) == 24      # 2^24 buckets
+    assert similarity.planes_for_corpus(10**6, 64) == 14
+    # observability hook agrees with the math on a uniform corpus
+    rng = np.random.default_rng(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)])
+            for i in range(256)]
+    occ = similarity.ann_bucket_occupancy(
+        spark.createDataFrame(rows), "embedding", n_planes=8, seed=7
+    ).agg(F.max("occupancy"), F.sum("occupancy")).first()
+    assert occ[1] == 256 and occ[0] <= 16  # spread, no structural pile-up
 
 
 def test_text_functions_null_safe(spark):

@@ -135,3 +135,90 @@ def test_concurrent_commit_overlapping_files_raises(spark, tmpdir_path):
     )
     with _pytest.raises(ConcurrentModificationError):
         t._commit([], [victim], t.stored_schema(), None)
+
+
+# ----------------------------------------------------------------- zone maps
+def _append_range(spark, t, lo, hi, prefix):
+    rows = [Row(doc_id=f"{prefix}{i}", tokens=[i], n_tok=i, source="s")
+            for i in range(lo, hi + 1)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+
+
+def test_zone_map_stats_recorded(spark, tmpdir_path):
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), num_buckets=2)
+    _append_range(spark, t, 1, 10, "a")
+    snap = t.log.snapshot()
+    for a in snap.live_files.values():
+        st = a.get("stats") or {}
+        assert "n_tok" in st and 1 <= st["n_tok"][0] <= st["n_tok"][1] <= 10
+        # string/array columns must NOT be in the zone map
+        assert "doc_id" not in st and "tokens" not in st
+
+
+def test_zone_map_file_skipping(spark, tmpdir_path):
+    """Three commits with disjoint n_tok ranges: a bounded read must open
+    only the overlapping commit's files and still return exact rows."""
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), num_buckets=2)
+    _append_range(spark, t, 1, 10, "a")
+    _append_range(spark, t, 11, 20, "b")
+    _append_range(spark, t, 21, 30, "c")
+    snap = t.log.snapshot()
+    adds = list(snap.live_files.values())
+    pruned = t._prune_adds_by_bounds(adds, {"n_tok": (21, None)})
+    assert len(pruned) < len(adds)          # files skipped
+    assert sum(a["rows"] for a in pruned) == 10  # only the last commit
+    out = t.read_incremental("n_tok", lo=21)
+    assert sorted(r.n_tok for r in out.collect()) == list(range(21, 31))
+    # half-open window crossing a commit boundary
+    out2 = t.read_incremental("n_tok", lo=8, hi=13)
+    assert sorted(r.n_tok for r in out2.collect()) == list(range(8, 14))
+
+
+def test_zone_map_merge_records_lsn_and_ts(spark, tmpdir_path):
+    import datetime as dt
+
+    from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+    from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, TARGET_SCHEMA
+
+    t = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "m"), TARGET_SCHEMA, num_buckets=2
+    )
+    batch = spark.createDataFrame(
+        [Row(op="I", doc_id="a", lsn=7, commit_ts=dt.datetime(2024, 1, 2, 3, 4, 5),
+             tokens=[1], n_tok=1, source="s")],
+        CDC_SCHEMA,
+    )
+    merge_into(t, batch, batch_id=0)
+    snap = t.log.snapshot()
+    st = next(iter(snap.live_files.values()))["stats"]
+    assert st["_lsn"] == [7, 7]
+    from tickers_daily_intraday_etl_spark.lake.table import ts_micros
+
+    assert st["_commit_ts"] == [ts_micros("2024-01-02T03:04:05")] * 2
+
+
+def test_zone_map_mor_guarded(spark, tmpdir_path):
+    """With live MoR deltas, bounded reads must resolve first (no file
+    skip) so a superseding out-of-window version still wins."""
+    import datetime as dt
+
+    from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
+    from tickers_daily_intraday_etl_spark.cdc.schemas import CDC_SCHEMA, TARGET_SCHEMA
+
+    t = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "mor"), TARGET_SCHEMA, num_buckets=2
+    )
+
+    def ev(op, lsn, n):
+        return Row(op=op, doc_id="k", lsn=lsn,
+                   commit_ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn),
+                   tokens=list(range(n)), n_tok=n, source="s")
+
+    merge_into(t, spark.createDataFrame([ev("I", 1, 5)], CDC_SCHEMA), batch_id=0)
+    # delta supersedes with n_tok OUTSIDE the queried window
+    merge_into(t, spark.createDataFrame([ev("U", 2, 50)], CDC_SCHEMA), batch_id=1, mode="mor")
+    assert t.has_deltas()
+    # window covers the OLD version only: resolution must hide it (the key's
+    # current version has n_tok=50, outside the window) -> empty result
+    assert t.read_incremental("n_tok", lo=1, hi=10).count() == 0
+    assert t.read_incremental("n_tok", lo=40).count() == 1

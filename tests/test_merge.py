@@ -237,3 +237,55 @@ def test_merge_retries_after_concurrent_conflict(spark, tmpdir_path):
                 batch_id=2, max_conflict_retries=0)
     finally:
         table._commit = real_commit
+
+
+# --------------------------------------------------------- crash injection
+def _crash_case(spark, tmpdir_path, mode):
+    import pytest as _pytest
+
+    from tickers_daily_intraday_etl_spark.lake.maintenance import vacuum
+
+    t = _table(spark, tmpdir_path)
+    merge_into(t, spark.createDataFrame(
+        [_ev("I", "a", 1, tokens=[1]), _ev("I", "b", 2, tokens=[2])], CDC_SCHEMA
+    ), batch_id=0)
+    v_before = t.log.latest_version()
+    state_before = _state(t)
+
+    # simulated crash between _write_data and log.try_commit: data files
+    # land on disk but the commit never publishes
+    orig = t.log.try_commit
+
+    def boom(entry):
+        raise RuntimeError("simulated crash before commit")
+
+    t.log.try_commit = boom
+    batch = spark.createDataFrame([_ev("U", "a", 3, ts_s=1, tokens=[9])], CDC_SCHEMA)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        merge_into(t, batch, batch_id=1, mode=mode)
+    t.log.try_commit = orig
+
+    # 1. table state unchanged (snapshot isolation: unpublished files invisible)
+    assert t.log.latest_version() == v_before
+    assert _state(t) == state_before
+    # 2. orphaned files exist and are vacuumable once past min_age
+    dry = vacuum(t, min_age_seconds=0.0, dry_run=True)
+    assert dry["orphan_files"] >= 1
+    vacuum(t, min_age_seconds=0.0)
+    assert vacuum(t, min_age_seconds=0.0, dry_run=True)["orphan_files"] == 0
+    assert _state(t) == state_before  # vacuum touched only orphans
+    # 3. re-run of the same batch_id lands exactly once
+    m1 = merge_into(t, batch, batch_id=1, mode=mode)
+    assert not m1.get("skipped")
+    assert _state(t) == {"a": [9], "b": [2]}
+    m2 = merge_into(t, batch, batch_id=1, mode=mode)
+    assert m2.get("skipped")  # epoch fence
+    assert _state(t) == {"a": [9], "b": [2]}
+
+
+def test_crash_before_commit_cow(spark, tmpdir_path):
+    _crash_case(spark, tmpdir_path, "cow")
+
+
+def test_crash_before_commit_mor(spark, tmpdir_path):
+    _crash_case(spark, tmpdir_path, "mor")

@@ -163,3 +163,76 @@ def test_purge_does_not_resurrect_superseded_rows(spark, tmpdir_path):
     assert table.read().where(F.col("doc_id") == "k").count() == 0
     # and the raw storage no longer holds ANY version of k
     assert table.read_raw().where(F.col("doc_id") == "k").count() == 0
+
+
+def test_size_based_compaction_folds_hot_bucket_only(spark, tmpdir_path):
+    """A skewed feed piles deltas into one hot bucket; the delta-file
+    threshold must fold exactly that bucket while cold buckets keep
+    their (few) delta files untouched."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    table = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "hot"), TARGET_SCHEMA, num_buckets=8
+    )
+    # find two keys hashing to different buckets
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(16)], "doc_id string")
+    by_bucket = {}
+    for r in probe.select("doc_id", table.bucket_expr().alias("b")).collect():
+        by_bucket.setdefault(r.b, r.doc_id)
+    (hot_b, hot_key), (cold_b, cold_key) = list(by_bucket.items())[:2]
+
+    def ev(doc, lsn):
+        return Row(op="U" if lsn > 1 else "I", doc_id=doc, lsn=lsn,
+                   commit_ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn),
+                   tokens=[lsn], n_tok=1, source="s")
+
+    bid = 0
+    for lsn in range(1, 6):  # 5 delta files into the hot bucket
+        merge_into(table, spark.createDataFrame([ev(hot_key, lsn)], CDC_SCHEMA),
+                   batch_id=bid, mode="mor")
+        bid += 1
+    merge_into(table, spark.createDataFrame([ev(cold_key, 1)], CDC_SCHEMA),
+               batch_id=bid, mode="mor")
+
+    def delta_counts():
+        snap = table.log.snapshot()
+        out = {}
+        for a in snap.live_files.values():
+            if a.get("kind") == "delta":
+                out[a["bucket"]] = out.get(a["bucket"], 0) + 1
+        return out
+
+    before = delta_counts()
+    assert before[hot_b] == 5 and before[cold_b] == 1
+    res = compact(table, max_files_per_bucket=None, max_delta_files_per_bucket=2)
+    assert res["compacted_buckets"] == 1
+    after = delta_counts()
+    assert hot_b not in after          # hot bucket folded to base
+    assert after[cold_b] == 1          # cold bucket untouched
+    assert _tokens_map(table.read()) == {hot_key: [5], cold_key: [1]}
+
+
+def test_pipeline_delta_threshold_triggers_compaction(spark, tmpdir_path):
+    """End-to-end: a MoR pipeline with compact_delta_files_threshold folds
+    delta pressure during the run (no count-based cadence set)."""
+    from tickers_daily_intraday_etl_spark.cdc.feedgen import write_feed_segments
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    events = generate_feed(n_events=600, n_docs=10, seed=3, p_delete=0.0)  # hot keys
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    write_feed_segments(events, feed_dir, n_segments=8)
+    pipe = CdcPipeline(
+        spark, feed_dir, os.path.join(tmpdir_path, "t"), os.path.join(tmpdir_path, "ck"),
+        feed_schema=CDC_SCHEMA, num_buckets=8, max_files_per_trigger=1,
+        merge_mode="mor", compact_delta_files_threshold=2,
+    )
+    pipe.run_available_now()
+    assert any("maintenance" in m for m in pipe.lineage)  # trigger fired
+    counts = {}
+    for a in pipe.table.log.snapshot().live_files.values():
+        if a.get("kind") == "delta":
+            counts[a["bucket"]] = counts.get(a["bucket"], 0) + 1
+    assert all(v <= 3 for v in counts.values()), counts  # pressure bounded
+    assert _tokens_map(pipe.table.read()) == _oracle_map(events)

@@ -180,67 +180,127 @@ def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str,
-    max_iters: int = 50,
+    max_iters: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Duplicate-CLUSTER assignment: label propagation to a fixpoint.
+    """Duplicate-CLUSTER assignment via alternating large-star/small-star
+    rounds (public algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014).
 
     ``nodes``: one row per document id; ``pairs``: undirected candidate
     edges (id_a, id_b) from any near-dup family.  Returns (id, cluster_id)
     where cluster_id = the minimum id reachable in the pair graph — the
+    exact transitive fixpoint (matches a recursive-CTE oracle), the
     canonical representative every dedup "apply" stage keys on.
 
-    Each iteration is one broadcast-free equi-join + min-aggregation over
-    (edges ∪ self-loops); iterations run until NO label changes, so the
-    result is the exact transitive fixpoint (matches a recursive-CTE
-    oracle).  Iteration count is bounded by the component diameter —
-    near-dup clusters are shallow (dup rings, not paths), so 2-4 rounds
-    in practice; ``max_iters`` is a runaway guard.  At 10^10-node scale
-    swap the propagation for the large-star/small-star variant (same
-    fixpoint, O(log n) rounds); the per-round shuffle key (the node id)
-    is identical."""
-    from pyspark.storagelevel import StorageLevel
+    Each round rewires the edge set toward stars rooted at component
+    minima:
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    * large-star: from each node u with m = min(Γ(u) ∪ {u}), every
+      LARGER neighbor v re-attaches to m — edges (v, m);
+    * small-star: edges oriented (larger, smaller); from each node a,
+      its smaller neighbors AND a itself attach to m = min(Γ⁻(a) ∪ {a}).
+
+    Both are one groupBy-min + one equi-join on the node id.  Unlike
+    plain min-label propagation (O(component-diameter) rounds — a
+    template-page chain A~B~…~Z in a web corpus forces rounds ∝ chain
+    length), this converges in O(log n) rounds regardless of diameter,
+    because stars collapse by pointer-doubling.  At the fixpoint the edge
+    set IS the answer: (member, component-min) pairs.
+
+    Raises RuntimeError if ``max_iters`` rounds pass without reaching the
+    fixpoint — returning partial labels would silently diverge from the
+    documented exact-fixpoint contract.  ``stats`` (optional dict) gets
+    ``{"rounds": n}`` recorded for convergence tests.
+
+    Each round's edge set is ``localCheckpoint``-ed: the round N plan
+    references round N-1's several times, so without lineage truncation
+    the logical plan grows ~4x per round and Catalyst analysis time
+    explodes long before the data does.  (On a real cluster prefer
+    ``checkpoint()`` to reliable storage for fault tolerance; the
+    truncation role is identical.)"""
+    # canonical orientation (larger, smaller): stable representation for
+    # the converged-set comparison below
+    E = (
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    rounds = 0
+    converged = E.isEmpty()
     for _ in range(max_iters):
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-        neighbor_lbl = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "lbl")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_lbl)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+        rounds += 1
+        # ---- large-star ----
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star (edges of `large` are already child>parent) ----
+        oriented = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("a"),
+            F.least(F.col("u"), F.col("v")).alias("b"),
+        )
+        mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        S = (
+            oriented.join(mins2, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = S.exceptAll(E).isEmpty() and E.exceptAll(S).isEmpty()
+        E = S
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "large-star/small-star rounds — partial labels would break the "
+            "exact-fixpoint contract; raise max_iters"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edge set = (member, component-min); one row per member at a
+    # star, but groupBy-min guards the (count==0) degenerate shapes too
+    roots = E.groupBy("u").agg(F.min("v").alias("__root"))
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots, F.col("id") == F.col("u"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__root"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    return out
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """SimHash over whitespace tokens with the oracle-parity token hash.
 
     Bit b of the signature is the sign of sum over tokens of
     (+1 if bit b of hex_hash64(token) else -1).  Implemented as one
     explode + one groupBy with ``bits`` conditional-sum aggregates —
-    a single shuffle, fully JVM-side."""
+    a single shuffle, fully JVM-side.
+
+    Default is 64-bit: the banded near-pair join's keyspace grows with
+    signature width (see ``simhash_near_pairs``), and 32-bit signatures
+    make its pigeonhole chunks only 8 bits — a 256-value join key that
+    goes quadratic at web-corpus scale.  The token hash
+    (``hex_hash64``) carries 60 random bits, so signature bits 60..63
+    are structurally 0 — harmless for Hamming distances, and both
+    engines (Spark ``shiftleft`` on long / DuckDB HUGEINT-sum-to-BIGINT
+    cast) agree on the reconstruction."""
     ex = df.select(
         F.col(id_col),
         F.explode(ws_tokens(normalize_text(F.col(text_col)))).alias("__tok"),
@@ -254,15 +314,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     summed = ex.groupBy(id_col).agg(*aggs)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft, not a Python literal: 1 << 63 overflows LongType
+        term = F.when(
+            F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return summed.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 64) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash, banded so candidate
     generation is an equi-join: split the signature into (max_hamming+1)
-    chunks — any pair within distance d agrees on >= 1 chunk (pigeonhole)."""
+    chunks — any pair within distance d agrees on >= 1 chunk (pigeonhole).
+
+    Scale: the join key is (chunk_id, chunk-value).  At 64 bits with
+    max_hamming=3 each chunk is 16 bits — a 65k-value keyspace per chunk
+    (en route: the top chunk holds the hash's 12 structural-zero bits, so
+    its live keyspace is 4k) versus 256 values at 32 bits, where every
+    (chunk, value) bucket would hold ~n/256 docs at 10^9-doc corpus scale
+    and the within-bucket join would go quadratic.  Per-bucket occupancy
+    is pinned by a test on a skewed corpus (test_dedup)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1

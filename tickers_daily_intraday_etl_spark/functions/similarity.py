@@ -61,16 +61,57 @@ def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def planes_for_corpus(n_vectors: int, target_bucket_occupancy: int = 64) -> int:
+    """Scale-parameterize the LSH table: with p hyperplanes there are 2^p
+    buckets, so expected occupancy ~= n/2^p (uniform bound; real
+    embeddings cluster, so treat it as a floor and verify with
+    ``ann_bucket_occupancy``).  Picks the smallest p with expected
+    occupancy <= target — e.g. 10^9 vectors @ target 64 -> 24 planes.
+    The within-bucket verify then does O(n * occupancy) work total
+    instead of O(n^2).  Floor of 4 planes keeps tiny corpora meaningful."""
+    import math
+
+    if n_vectors <= target_bucket_occupancy:
+        return 4
+    return max(4, math.ceil(math.log2(n_vectors / target_bucket_occupancy)))
+
+
+def ann_bucket_occupancy(df: DataFrame, vec_col: str, n_planes: int, seed: int = 42) -> DataFrame:
+    """Per-bucket occupancy histogram for a hyperplane configuration —
+    the observability hook for the occupancy bound above (join work is
+    sum over buckets of occ^2)."""
+    head = df.select(vec_col).first()
+    dim = len(head[0])
+    planes = make_hyperplanes(n_planes, dim, seed)
+    v = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    return (
+        v.select(hyperplane_lsh_bucket(F.col("__v"), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("occupancy"))
+    )
+
+
 def ann_bucketed_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 42,
     threshold: float = 0.9,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH bucket join, exact cosine
-    verification within bucket.  The cross product never leaves a bucket."""
+    verification within bucket.  The cross product never leaves a bucket.
+
+    Scale parameterization: 2^n_planes buckets must grow with the corpus
+    (``planes_for_corpus``) — at 10^9 vectors, 8 planes = 256 buckets
+    puts ~4M vectors per bucket and the verify goes quadratic; 24 planes
+    keeps expected occupancy ~60.  More planes lower recall for
+    borderline pairs (exact duplicates always collide); ``multiprobe``
+    buys recall back WITHOUT shrinking the keyspace: one join side also
+    probes the ``multiprobe`` single-bit-flip neighbor buckets (Hamming-1
+    in the bucket code), multiplying candidates by (1+multiprobe) rather
+    than the 2^k of dropping k planes."""
     head = df.select(vec_col).first()
     if head is None or head[0] is None:
         # empty input: no pairs, correct schema
@@ -81,6 +122,27 @@ def ann_bucketed_pairs(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__bucket", hyperplane_lsh_bucket(F.col("__v"), planes))
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("__bucket"),
+            *[F.col("__bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
+        )
+        left = v.select(
+            F.col(id_col), F.col("__v"), F.explode(probes).alias("__probe")
+        ).alias("l")
+        r = v.alias("r")
+        cand = left.join(
+            r,
+            (F.col("l.__probe") == F.col("r.__bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col("l.__v"), F.col("r.__v")).alias("__c"),
+        )
+        # a pair can collide through several probes: fold in the verify agg
+        folded = cand.groupBy("id_a", "id_b").agg(F.max("__c").alias("cos_sim"))
+        return folded.where(F.col("cos_sim") >= threshold)
     l, r = v.alias("l"), v.alias("r")
     pairs = l.join(
         r,

@@ -114,10 +114,22 @@ class CommitConflict(Exception):
 
 
 class CommitLog:
+    # how many folded snapshots to memoize per log (a merge asks for the
+    # same version several times: planning, schema, pruned read, commit)
+    _SNAP_CACHE_SIZE = 8
+
     def __init__(self, table_path: str):
         self.table_path = table_path
         self.log_dir = os.path.join(table_path, _LOG_DIR)
         os.makedirs(self.log_dir, exist_ok=True)
+        # version -> folded Snapshot.  A snapshot at an EXPLICIT version is
+        # immutable (the log is append-only and entry files are never
+        # rewritten), so memoizing the fold is safe across writers too.
+        # Without this every snapshot() call re-reads O(versions-since-
+        # checkpoint) entry files — ~4 calls per merge made the per-batch
+        # fixed cost grow with table age (the round-2 bench drift).
+        # Callers must treat returned snapshots as read-only.
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # ---- paths ----
     def _entry_path(self, version: int) -> str:
@@ -155,13 +167,26 @@ class CommitLog:
             return Snapshot.from_json(f.read())
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
-        """Fold the log up to ``version`` (default: latest)."""
+        """Fold the log up to ``version`` (default: latest).  Folds are
+        memoized per explicit version (immutable once committed); treat
+        the returned Snapshot as read-only."""
         latest = self.latest_version()
         if latest is None:
             return None
         version = latest if version is None else version
-        base = self._latest_checkpoint_at_or_below(version)
+        hit = self._snap_cache.get(version)
+        if hit is not None:
+            return hit
+        # start from the nearest memoized fold below, else a checkpoint
+        base: Snapshot | None = None
+        lower = [v for v in self._snap_cache if v < version]
+        if lower:
+            base = self._snap_cache[max(lower)]
+        ckpt = self._latest_checkpoint_at_or_below(version)
+        if ckpt is not None and (base is None or ckpt.version > base.version):
+            base = ckpt
         if base is not None and base.version == version:
+            self._remember(version, base)
             return base
         if base is None:
             snap = Snapshot(
@@ -173,7 +198,15 @@ class CommitLog:
                 properties={},
             )
         else:
-            snap = base
+            # fold on a copy — the cached base must stay frozen
+            snap = Snapshot(
+                version=base.version,
+                schema_json=base.schema_json,
+                live_files=dict(base.live_files),
+                committed_batch_ids=list(base.committed_batch_ids),
+                schemas=dict(base.schemas),
+                properties=dict(base.properties),
+            )
         for v in range(snap.version + 1, version + 1):
             entry = self.read_entry(v)
             if entry.schema_json != snap.schema_json:
@@ -187,7 +220,13 @@ class CommitLog:
                 snap.committed_batch_ids.append(entry.manifest["batch_id"])
             snap.properties.update(entry.properties)
             snap.version = v
+        self._remember(version, snap)
         return snap
+
+    def _remember(self, version: int, snap: Snapshot) -> None:
+        self._snap_cache[version] = snap
+        while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
+            del self._snap_cache[min(self._snap_cache)]
 
     # ---- write side ----
     def try_commit(self, entry: LogEntry) -> None:

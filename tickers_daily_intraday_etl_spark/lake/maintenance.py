@@ -22,17 +22,46 @@ from tickers_daily_intraday_etl_spark.lake.table import (
 )
 
 
-def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict[str, Any]:
-    """Rewrite buckets that have more than ``max_files_per_bucket`` live
-    files into one file each.  Metadata-only for untouched buckets.
-    Merge-on-read delta files are FOLDED here (read_resolved applies the
-    LWW total order), so the rewritten buckets come out as plain base
-    files with one row per key again."""
+def compact(
+    table: LakeTable,
+    max_files_per_bucket: int | None = 1,
+    max_delta_files_per_bucket: int | None = None,
+    max_delta_rows_per_bucket: int | None = None,
+) -> dict[str, Any]:
+    """Rewrite buckets that exceed a threshold into one file each.
+    Metadata-only for untouched buckets.  Merge-on-read delta files are
+    FOLDED here (read_resolved applies the LWW total order), so the
+    rewritten buckets come out as plain base files with one row per key
+    again.
+
+    Thresholds (a bucket qualifying under ANY is rewritten; pass None to
+    disable one):
+    * ``max_files_per_bucket`` — total live files (base + delta);
+    * ``max_delta_files_per_bucket`` / ``max_delta_rows_per_bucket`` —
+      merge-on-read delta pressure only.  A skewed feed concentrates
+      deltas in its hot buckets; a count-of-batches cadence would either
+      over-compact the cold buckets or let the hot one accumulate
+      unbounded deltas (every read of it LWW-resolves the whole pile).
+      Size-based triggers fold exactly the hot buckets (row counts come
+      straight from the commit log — no filesystem probing)."""
     snap = table.log.snapshot()
     by_bucket: dict[int, list[dict]] = {}
     for a in snap.live_files.values():
         by_bucket.setdefault(a["bucket"], []).append(a)
-    fat = {b: adds for b, adds in by_bucket.items() if len(adds) > max_files_per_bucket}
+
+    def _fat(adds: list[dict]) -> bool:
+        if max_files_per_bucket is not None and len(adds) > max_files_per_bucket:
+            return True
+        deltas = [a for a in adds if a.get("kind") == "delta"]
+        if max_delta_files_per_bucket is not None and len(deltas) > max_delta_files_per_bucket:
+            return True
+        if max_delta_rows_per_bucket is not None and sum(
+            a["rows"] for a in deltas
+        ) > max_delta_rows_per_bucket:
+            return True
+        return False
+
+    fat = {b: adds for b, adds in by_bucket.items() if _fat(adds)}
     if not fat:
         return {"compacted_buckets": 0, "files_removed": 0, "files_added": 0}
     buckets = sorted(fat)

@@ -66,6 +66,41 @@ _WIDENINGS = {
 }
 
 
+def _stat_value(v: Any) -> Any:
+    """Normalize a parquet row-group statistic to a JSON-safe, totally
+    ordered value: ints/floats pass through, timestamps become
+    micros-since-epoch (naive = NTZ, compared against naive bounds), all
+    other types (strings/binary — unbounded size, truncation-ambiguous)
+    are dropped."""
+    import datetime as _dt
+
+    if isinstance(v, bool):  # bool is an int subclass; min/max not useful
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        else:
+            epoch = _dt.datetime(1970, 1, 1)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+def ts_micros(iso: str) -> int:
+    """Bound helper: ISO timestamp string -> naive micros-since-epoch,
+    the domain zone-map stats store timestamps in."""
+    import datetime as _dt
+
+    return (
+        _dt.datetime.fromisoformat(iso) - _dt.datetime(1970, 1, 1)
+    ) // _dt.timedelta(microseconds=1)
+
+
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     """Least common widened type of a and b, or raise."""
     if a == b:
@@ -195,14 +230,50 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    @staticmethod
+    def _prune_adds_by_bounds(
+        adds: list[dict[str, Any]], bounds: dict[str, tuple[Any, Any]]
+    ) -> list[dict[str, Any]]:
+        """Zone-map skip: keep a file only if, for every bounded column,
+        its stored (min, max) range overlaps [lo, hi] (None = open end).
+        Files without stats for a column are conservatively kept."""
+        out = []
+        for a in adds:
+            stats = a.get("stats") or {}
+            keep = True
+            for col, (lo, hi) in bounds.items():
+                st = stats.get(col)
+                if st is None:
+                    continue
+                fmin, fmax = st
+                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                    keep = False
+                    break
+            if keep:
+                out.append(a)
+        return out
+
+    def read_raw(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        bounds: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame:
         """All stored rows incl. tombstones + internal columns.
-        ``buckets`` prunes to the given key-buckets (file-level skip)."""
+        ``buckets`` prunes to the given key-buckets (file-level skip);
+        ``bounds`` ({col: (lo, hi)}, timestamps as micros — ``ts_micros``)
+        prunes by the per-file zone-map stats.  NB: bounds-pruning is a
+        SCAN optimization — callers still apply the row-level predicate;
+        and on a merge-on-read table, pruning before LWW resolution is
+        only sound for predicates on immutable-per-key columns (use
+        ``read_incremental`` for the guarded form)."""
         snap = self.log.snapshot(version)
         adds = list(snap.live_files.values())
         if buckets is not None:
             want = set(buckets)
             adds = [a for a in adds if a["bucket"] in want]
+        if bounds:
+            adds = self._prune_adds_by_bounds(adds, bounds)
         df = self._read_files(snap, adds)
         if df is None:
             schema = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
@@ -237,6 +308,48 @@ class LakeTable:
             LSN_COL, COMMIT_TS_COL, DELETED_COL
         )
 
+    def read_incremental(
+        self, col: str, lo: Any = None, hi: Any = None, version: int | None = None
+    ) -> DataFrame:
+        """Bounded-lookback read: visible rows with ``lo <= col <= hi``
+        (open ends allowed).  The reference's incremental fact pattern
+        (reference: analytics/etl_fact_analytics.py:56,79 — reprocess the
+        last N days) is exactly this shape; here the zone-map stats make
+        it open only the files whose (min, max) range overlaps the window
+        instead of scanning the table.
+
+        Correctness at file level: on a pure-base (CoW) snapshot each key
+        is stored once, so file-skip + row-filter is exact.  When
+        merge-on-read deltas are live, a pruned read could miss a
+        superseding row version outside the window, so resolution runs
+        first and only the row-filter applies (conservative, still
+        correct)."""
+        import datetime as _dt
+
+        def _b(v: Any) -> Any:
+            if isinstance(v, str):
+                return ts_micros(v)
+            if isinstance(v, _dt.datetime):
+                return _stat_value(v)
+            return v
+
+        if self.has_deltas(version):
+            raw = self.read_resolved(version)
+        else:
+            raw = self.read_raw(version, bounds={col: (_b(lo), _b(hi))})
+        cond = F.lit(True)
+        c = F.col(col)
+        col_type = raw.schema[col].dataType
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo).cast(col_type))
+        if hi is not None:
+            cond = cond & (c <= F.lit(hi).cast(col_type))
+        return (
+            raw.where(cond)
+            .where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(LSN_COL, COMMIT_TS_COL, DELETED_COL)
+        )
+
     def committed_batch_ids(self) -> set:
         snap = self.log.snapshot()
         return set(snap.committed_batch_ids) if snap else set()
@@ -265,7 +378,15 @@ class LakeTable:
         reads are driver-side and there is one per bucket file (up to
         num_buckets per commit) — done on a thread pool because a serial
         Python loop here is a fixed per-commit cost that eats into
-        scaling (pyarrow releases the GIL for the I/O+decode)."""
+        scaling (pyarrow releases the GIL for the I/O+decode).
+
+        Each add-record carries zone-map ``stats``: per-file (min, max)
+        for every int/float/timestamp column, harvested from the parquet
+        row-group statistics the write already produced (timestamps
+        stored as micros-since-epoch so the JSON log stays typed).  Scans
+        prune on them (``read_raw(bounds=...)``) — the file-skipping that
+        makes bounded-lookback reads O(files-in-window) instead of
+        O(files-in-table) at 10^10-event scale."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
@@ -281,12 +402,33 @@ class LakeTable:
             rel = os.path.relpath(full, self.path)
             bucket_part = [p for p in rel.split(os.sep) if p.startswith(f"{BUCKET_COL}=")]
             bucket = int(bucket_part[0].split("=")[1]) if bucket_part else -1
-            return {
+            md = pq.ParquetFile(full).metadata
+            stats: dict[str, list[Any]] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = _stat_value(st.min), _stat_value(st.max)
+                    if lo is None or hi is None:
+                        continue
+                    name = col.path_in_schema
+                    if name in stats:
+                        stats[name][0] = min(stats[name][0], lo)
+                        stats[name][1] = max(stats[name][1], hi)
+                    else:
+                        stats[name] = [lo, hi]
+            rec: dict[str, Any] = {
                 "path": rel,
                 "bucket": bucket,
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
                 "kind": kind,
             }
+            if stats:
+                rec["stats"] = stats
+            return rec
 
         if len(paths) <= 1:
             return [one(p) for p in paths]

@@ -643,11 +643,12 @@ def _simhash_body(source_sql: str, bits: int = 32) -> str:
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: LSH candidate pairs -> connected components
-    (iterative label propagation to the exact fixpoint; the oracle is the
+    (alternating large-star/small-star rounds to the exact fixpoint —
+    O(log n) rounds regardless of component diameter; the oracle is the
     equivalent recursive CTE).  cluster_id = min doc_id reachable in the
     pair graph — the canonical id dedup 'apply' stages key on.  This is
     the engine's iterative-algorithm representative: a driver loop of
-    join+min-agg rounds, terminating when no label changes."""
+    groupBy-min + equi-join rounds, terminating at the edge-set fixpoint."""
     docs = _near_docs(spark, sf_dir)
     sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
     pairs = dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4)
@@ -702,10 +703,18 @@ def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.simhash(docs, "text", "doc_id", bits=32)
 
 
+@register("simhash_64", _simhash_sql(bits=64))
+def q_simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit signatures — the scale configuration: the near-pair band key
+    gets 16-bit pigeonhole chunks (65k values) instead of 8-bit (256)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedupe.simhash(docs, "text", "doc_id", bits=64)
+
+
 @register(
     "simhash_near_pairs",
     f"""
-    WITH {_NEAR_DOCS_SQL}, {_simhash_body('neardocs')}
+    WITH {_NEAR_DOCS_SQL}, {_simhash_body('neardocs', bits=64)}
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
     FROM sig l JOIN sig r ON l.doc_id < r.doc_id
@@ -714,12 +723,13 @@ def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole-banded SimHash near-dup pairs over the near-dup-injected
-    corpus.  With (max_hamming+1) chunks every pair within the distance
-    bound shares >= 1 chunk, so the banded equi-join finds EXACTLY the
-    pairs an all-pairs Hamming filter would — which is what the oracle
-    computes (the oracle needn't be scale-safe, only value-identical)."""
-    sigs = dedupe.simhash(_near_docs(spark, sf_dir), "text", "doc_id", bits=32)
-    out = dedupe.simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=32)
+    corpus, at the 64-bit scale configuration (16-bit chunk keyspace).
+    With (max_hamming+1) chunks every pair within the distance bound
+    shares >= 1 chunk, so the banded equi-join finds EXACTLY the pairs an
+    all-pairs Hamming filter would — which is what the oracle computes
+    (the oracle needn't be scale-safe, only value-identical)."""
+    sigs = dedupe.simhash(_near_docs(spark, sf_dir), "text", "doc_id", bits=64)
+    out = dedupe.simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=64)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -798,8 +808,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_AUG_EMB_SQL},
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
     b AS (SELECT vec_id, e,
-                 {_bucket_sql('e', _ann_planes(seed=42))} AS b0,
-                 {_bucket_sql('e', _ann_planes(seed=43))} AS b1
+                 {_bucket_sql('e', _ann_planes(16, seed=42))} AS b0,
+                 {_bucket_sql('e', _ann_planes(16, seed=43))} AS b1
           FROM v),
     pairs AS (
       SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL.format(a='l.e', b='r.e')} AS c
@@ -815,10 +825,17 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cross join is O(n^2) shuffled pairs and survives only as the
     small-N verification baseline in tests).  The hyperplanes are
     deterministic literals, so the oracle applies the identical candidate
-    filter."""
+    filter.
+
+    Graded at 16 planes (65k buckets/table): expected occupancy at
+    10^9 vectors is ~15k — still too hot there, but the plane count is a
+    parameter (``planes_for_corpus`` picks ~24 for 10^9 @ target 64) and
+    the candidate join shape is invariant in it; 16 is the largest
+    keyspace that keeps the sf-scale oracle non-vacuous AND exercises
+    multi-table recall recovery (exact dups collide in every table)."""
     out = similarity.ann_multitable_pairs(
         _aug_embeddings(spark, sf_dir), "embedding", "vec_id",
-        n_planes=8, n_tables=2, seed=42, threshold=0.99,
+        n_planes=16, n_tables=2, seed=42, threshold=0.99,
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -920,7 +937,7 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_AUG_EMB_SQL},
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
-    b AS (SELECT vec_id, e, {_bucket_sql('e', _ann_planes(seed=42))} AS bucket FROM v),
+    b AS (SELECT vec_id, e, {_bucket_sql('e', _ann_planes(16, seed=42))} AS bucket FROM v),
     pairs AS (
       SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL.format(a='l.e', b='r.e')} AS c
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
@@ -931,9 +948,10 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: single-table hyperplane-LSH near-dup pairs
     (recall < 1 by design — and the oracle applies the same bucket
-    filter, since the hyperplanes are deterministic literals)."""
+    filter, since the hyperplanes are deterministic literals).  Graded
+    at 16 planes; see q_embedding_near_pairs on the occupancy bound."""
     pairs = similarity.ann_bucketed_pairs(
-        _aug_embeddings(spark, sf_dir), "embedding", "vec_id", n_planes=8, threshold=0.99
+        _aug_embeddings(spark, sf_dir), "embedding", "vec_id", n_planes=16, threshold=0.99
     )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

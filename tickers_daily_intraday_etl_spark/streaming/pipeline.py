@@ -49,6 +49,7 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         feed_format: str = "parquet",
         compact_every: int | None = None,
+        compact_delta_files_threshold: int | None = None,
         merge_mode: str = "cow",
     ):
         self.spark = spark
@@ -59,8 +60,14 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.feed_format = feed_format
         self.compact_every = compact_every
-        # 'mor' pairs naturally with compact_every: deltas accrue per
-        # micro-batch and compaction folds them on a cadence
+        # 'mor' pairs naturally with compaction: deltas accrue per
+        # micro-batch and compaction folds them.  compact_every is a
+        # batch-count cadence (whole-table health); the delta-files
+        # threshold is SIZE-based and per-bucket — a skewed feed piles
+        # deltas into its hot buckets, and this folds exactly those while
+        # cold buckets stay untouched (checked against the commit log
+        # after every batch; the check is metadata-only).
+        self.compact_delta_files_threshold = compact_delta_files_threshold
         self.merge_mode = merge_mode
         self._batches_applied = 0
         from tickers_daily_intraday_etl_spark.cdc import schemas as S
@@ -135,6 +142,31 @@ class CdcPipeline:
                 from tickers_daily_intraday_etl_spark.lake.maintenance import compact
 
                 self.lineage.append({"maintenance": compact(self.table)})
+            elif self.compact_delta_files_threshold is not None and self._delta_pressure():
+                from tickers_daily_intraday_etl_spark.lake.maintenance import compact
+
+                self.lineage.append(
+                    {
+                        "maintenance": compact(
+                            self.table,
+                            max_files_per_bucket=None,
+                            max_delta_files_per_bucket=self.compact_delta_files_threshold,
+                        )
+                    }
+                )
+
+    def _delta_pressure(self) -> bool:
+        """True if any bucket's live delta-file count exceeds the
+        threshold (commit-log metadata only, no data scan)."""
+        snap = self.table.log.snapshot()
+        counts: dict[int, int] = {}
+        for a in snap.live_files.values():
+            if a.get("kind") == "delta":
+                b = a["bucket"]
+                counts[b] = counts.get(b, 0) + 1
+                if counts[b] > self.compact_delta_files_threshold:
+                    return True
+        return False
 
     def run_available_now(self) -> list[dict[str, Any]]:
         """Drain everything currently in the feed dir, then stop.
@@ -161,7 +193,7 @@ class CdcPipeline:
         query.awaitTermination()
         return self.lineage
 
-    def reset_checkpoint(self, reset_table: bool = True) -> None:
+    def reset_checkpoint(self, *, reset_table: bool) -> None:
         """Full replay = fresh checkpoint AND fresh table (reference's
         `full` fetch mode).
 
@@ -171,7 +203,12 @@ class CdcPipeline:
         committed — the fence would then silently drop it.  A full replay
         therefore requires a fresh table; ``reset_table=False`` is only
         for callers replaying the byte-identical feed into a table they
-        reset themselves."""
+        reset themselves.
+
+        ``reset_table`` is deliberately keyword-only with NO default:
+        ``reset_table=True`` DELETES the table directory, and silently
+        defaulting a destructive action bit a previous caller — every
+        call site must state its intent."""
         import shutil
 
         if os.path.exists(self.checkpoint_dir):
