@@ -46,12 +46,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query.  The only rows-only entry
-    (no oracle) is `cdc_lineage_metrics`, which reads the engine's own
-    commit log — everything else, including the streaming CDC final
-    state, the LSH/IVF approximate-search paths, the multimodal feature
-    extraction and the iterative dup-cluster components (recursive-CTE
-    oracle), is oracle-checked."""
+    """DuckDB-runnable ANSI SQL per query — EVERY queries() entry has
+    one, including the streaming CDC final state, the LSH/IVF
+    approximate-search paths (trained-centroid k-means replayed by
+    unrolled Lloyd CTEs), the multimodal feature extraction, the
+    iterative dup-cluster components (recursive-CTE oracle), and the
+    commit-log lineage metrics (feed-derivable columns + invariant
+    booleans the oracle pins to TRUE)."""
     from tickers_daily_intraday_etl_spark.queries import ORACLES
 
     return dict(ORACLES)

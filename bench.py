@@ -164,6 +164,10 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         log(f"{name}: {n} rows in {dt:.2f}s")
+        # the pair queries persist their shared explode relations; drop
+        # them between queries so caches can't accumulate across the loop
+        # (each query is timed on its own materialization anyway)
+        spark.catalog.clearCache()
 
     cdc = run_cdc_throughput(spark, sf)
     log(f"cdc throughput: {cdc}")

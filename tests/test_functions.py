@@ -366,6 +366,35 @@ def test_ann_multiprobe_recall_superset(spark):
     assert probed <= brute
 
 
+def test_ivf_trained_centroids_recall(spark):
+    """k-means-lite must (a) actually move the centroids, (b) lift the
+    probe-search recall on a clustered corpus even from a degenerate init
+    (all 4 seeds in one blob)."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)) * 3.0
+    rows = []
+    for ci in range(4):
+        for j in range(50):
+            v = centers[ci] + 0.3 * rng.standard_normal(16)
+            rows.append(Row(vec_id=ci * 50 + j, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    init = [list(rows[i].embedding) for i in range(4)]  # all from blob 0
+    sample = [(r.vec_id, list(r.embedding)) for r in rows if r.vec_id % 3 == 0]
+    trained = similarity.train_centroids_lloyd_seq(sample, init, iters=3)
+    assert trained != init  # Lloyd moved them
+    query = list(rows[170].embedding)  # a blob-3 member
+    brute = [r.vec_id for r in
+             similarity.cosine_topk_to_query(df, "embedding", "vec_id", query, k=10).collect()]
+    got = [r.vec_id for r in
+           similarity.ivf_topk_to_query(df, "embedding", "vec_id", query,
+                                        trained, k=10, n_probe=2).collect()]
+    assert len(set(brute) & set(got)) >= 8  # high recall after training
+    naive = [r.vec_id for r in
+             similarity.ivf_topk_to_query(df, "embedding", "vec_id", query,
+                                          init, k=10, n_probe=2).collect()]
+    assert len(set(brute) & set(got)) >= len(set(brute) & set(naive))
+
+
 def test_planes_for_corpus_occupancy_bound(spark):
     assert similarity.planes_for_corpus(10, 64) == 4          # floor
     assert similarity.planes_for_corpus(10**9, 64) == 24      # 2^24 buckets

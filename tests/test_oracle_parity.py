@@ -78,13 +78,11 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_rows_only_queries_run(spark):
-    from tickers_daily_intraday_etl_spark.queries import ROWS_ONLY_QUERIES
-
-    for name, q in ROWS_ONLY_QUERIES.items():
-        df = q(spark, SF_DIR)
-        assert df.count() >= 0, name
-        assert df.columns, name
+def test_every_query_has_an_oracle():
+    """Round 3 closed the last rows-only row (cdc_lineage_metrics now
+    exports SQL-derivable columns + invariant booleans) — keep it closed."""
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert not missing, missing
 
 
 def test_entry_smoke(spark):

@@ -132,3 +132,36 @@ def test_lineage_records_source_offsets(spark, feed, tmpdir_path):
     ]
     logged = [m for m in from_log if m and m.get("n_input_files")]
     assert len(logged) == len(applied)
+
+
+def test_lineage_invariants(spark, feed, tmpdir_path):
+    """Self-consistency of the commit-log lineage (the machine checks
+    behind cdc_lineage_metrics' buckets_ok/files_ok booleans, plus the
+    ones that need the whole run): sum(rows_in) == feed event count,
+    versions strictly increasing, affected buckets within range, and
+    files_added matching both the entry's add-records and the files on
+    disk."""
+    feed_dir, events = feed
+    pipe = CdcPipeline(
+        spark, feed_dir, os.path.join(tmpdir_path, "t"), os.path.join(tmpdir_path, "c"),
+        feed_schema=CDC_SCHEMA_V2, num_buckets=8, max_files_per_trigger=2,
+    )
+    pipe.run_available_now()
+    table = pipe.table
+    snap = table.log.snapshot()
+    total_rows_in, versions = 0, []
+    for v in range(1, snap.version + 1):
+        entry = table.log.read_entry(v)
+        m = entry.manifest
+        if not m or m.get("rows_in") is None:
+            continue
+        versions.append(v)
+        total_rows_in += m["rows_in"]
+        buckets = m.get("affected_buckets", [])
+        assert 1 <= len(buckets) <= table.num_buckets
+        assert all(0 <= b < table.num_buckets for b in buckets)
+        assert m["files_added"] == len(entry.adds) <= table.num_buckets
+        for a in entry.adds:
+            assert os.path.isfile(os.path.join(table.path, a["path"])), a["path"]
+    assert total_rows_in == len(events)
+    assert versions == sorted(versions) and len(set(versions)) == len(versions)

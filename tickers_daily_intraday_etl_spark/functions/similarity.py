@@ -229,6 +229,53 @@ def _seq_dot(a: list[float], b: list[float]) -> float:
     return s
 
 
+def train_centroids_lloyd_seq(
+    sample: list[tuple],
+    centroids: list[list[float]],
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic k-means-lite: Lloyd iterations over a (small,
+    driver-collected) sample, all arithmetic SEQUENTIAL doubles so an SQL
+    oracle can replay the training bit-for-bit (DuckDB
+    ``list_dot_product`` == the same left-to-right fold; per-dimension
+    means via ``list_reduce`` over ``list(x ORDER BY id)``).
+
+    ``sample``: (id, vector) pairs SORTED by id — the summation order is
+    part of the contract.  Assignment = max cosine, ties to the lower
+    centroid index; empty clusters keep their previous centroid.  At
+    corpus scale the sample stays k*O(100) rows (a seeded modulus of the
+    id space), so training cost is independent of table size; the full
+    table only ever sees the finished centroids as literals."""
+    import math
+
+    for _ in range(iters):
+        assign: dict[int, list] = {}
+        for _vid, e in sample:
+            best, best_s = 0, None
+            en = math.sqrt(_seq_dot(e, e))
+            for ci, c in enumerate(centroids):
+                denom = en * math.sqrt(_seq_dot(c, c))
+                s = _seq_dot(e, c) / denom if denom else float("-inf")
+                if best_s is None or s > best_s:
+                    best, best_s = ci, s
+            assign.setdefault(best, []).append(e)
+        new: list[list[float]] = []
+        for ci, c in enumerate(centroids):
+            members = assign.get(ci)
+            if not members:
+                new.append(list(c))
+                continue
+            cent = []
+            for d in range(len(c)):
+                acc = 0.0
+                for e in members:
+                    acc += e[d]
+                cent.append(acc / len(members))
+            new.append(cent)
+        centroids = new
+    return centroids
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (max cosine).  Centroids come from any off-line source; here a

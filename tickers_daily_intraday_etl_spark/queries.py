@@ -957,14 +957,48 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ASSIGN_COS = _COS_SQL.format(a="v.e", b="c.ce")
+_IVF_SAMPLE_MOD = 7  # training sample: vec_id % 7 == 0 (~n/7 rows, k<<sample)
+
+
+def _lloyd_iter_sql(src_c: str, idx: int) -> str:
+    """One unrolled Lloyd iteration in SQL, bit-for-bit the same
+    arithmetic as ``similarity.train_centroids_lloyd_seq``: assignment by
+    sequential-double cosine (ties to lower cid), per-dimension means as
+    a sequential fold over the sample in vec_id order, empty clusters
+    keep the previous centroid."""
+    cos = _COS_SQL.format(a="smp.e", b=f"{src_c}.ce")
+    return f"""
+    a{idx} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT smp.vec_id, smp.e, {src_c}.cid,
+               row_number() OVER (PARTITION BY smp.vec_id
+                                  ORDER BY {cos} DESC, {src_c}.cid) AS rn
+        FROM smp, {src_c}) x WHERE rn = 1
+    ),
+    m{idx} AS (
+      SELECT cid, i,
+             list_reduce(list_prepend(0.0, list(e[i] ORDER BY vec_id)),
+                         (acc, x) -> acc + x) / count(*) AS mu
+      FROM a{idx}, generate_series(1, {_EMB_DIM}) t(i)
+      GROUP BY cid, i
+    ),
+    c{idx} AS (
+      SELECT {src_c}.cid, coalesce(m.ce, {src_c}.ce) AS ce
+      FROM {src_c} LEFT JOIN (
+        SELECT cid, list(mu ORDER BY i) AS ce FROM m{idx} GROUP BY cid) m USING (cid)
+    )"""
 
 
 @register(
     "ivf_topk",
     f"""
-    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 4),
+    WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE vec_id % {_IVF_SAMPLE_MOD} = 0),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 4),
+    {_lloyd_iter_sql('c0', 1)},
+    {_lloyd_iter_sql('c1', 2)},
     q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
-    cs AS (SELECT cid, {_COS_SQL.format(a='ce', b='qe')} AS s FROM c, q),
+    cs AS (SELECT cid, {_COS_SQL.format(a='ce', b='qe')} AS s FROM c2, q),
     probe AS (SELECT cid FROM cs ORDER BY s DESC, cid LIMIT 2),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     assigned AS (
@@ -972,7 +1006,7 @@ _IVF_ASSIGN_COS = _COS_SQL.format(a="v.e", b="c.ce")
         SELECT v.vec_id, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid) AS rn
-        FROM v, c) a WHERE rn = 1
+        FROM v, c2 c) a WHERE rn = 1
     ),
     short AS (
       SELECT v.vec_id, v.e FROM v JOIN assigned USING (vec_id)
@@ -984,12 +1018,25 @@ _IVF_ASSIGN_COS = _COS_SQL.format(a="v.e", b="c.ce")
     """,
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe-list search: centroids = embeddings of vec_id 0..3,
-    query = vec_id 5 — all data-derived, so the oracle recomputes the
-    same probe selection (sequential-double cosine, ties to lower cid)."""
+    """IVF probe-list search with TRAINED centroids: k-means-lite (init =
+    embeddings 0..3, two Lloyd iterations over the vec_id % 7 sample),
+    then 2-probe search for query vec_id=5.  Training is
+    sequential-double driver math over a size-bounded sample, so the
+    oracle replays it exactly (unrolled Lloyd CTEs); the full table only
+    sees the finished centroids as literals — the Spark-side scan stays
+    one assignment pass + one probe-pruned top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    centroids = [[float(x) for x in r["embedding"]] for r in cents]
+    init = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    sample = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") % _IVF_SAMPLE_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    centroids = similarity.train_centroids_lloyd_seq(sample, init, iters=2)
     query = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
     out = similarity.ivf_topk_to_query(
         emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2
@@ -1063,12 +1110,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", F.col("n_bytes").cast("int").alias("n_bytes"), *fcols)
 
 
+@register(
+    "cdc_lineage_metrics",
+    """
+    SELECT i::BIGINT AS batch_id,
+           (SELECT count(*) FROM documents)::BIGINT AS rows_in,
+           (i + 1)::BIGINT AS version,
+           1::BIGINT AS n_input_files,
+           TRUE AS buckets_ok,
+           TRUE AS files_ok
+    FROM range(3) t(i)
+    """,
+)
 def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-micro-batch lineage records as a metrics DataFrame: source
-    offsets (input feed files), row counts, files written, affected
-    buckets, and the commit snapshot id — read back from the atomic
-    commit log, so the metrics ARE the durable manifests (rows-only:
-    the streaming runtime + commit log are not SQL-expressible)."""
+    """Per-micro-batch lineage records as a metrics DataFrame, read back
+    from the atomic commit log (the metrics ARE the durable manifests).
+
+    The commit log itself is not SQL-expressible, but every emitted
+    column is either derivable from the feed construction (3 one-file
+    batches of exactly count(documents) events each; create=v0 so batch
+    b commits version b+1) or a self-consistency invariant checked
+    against the log/filesystem and exported as a boolean the oracle pins
+    to TRUE:
+
+    * ``buckets_ok``  — 1 <= n_affected_buckets <= num_buckets AND
+      files_added <= num_buckets (one file per touched bucket per commit);
+    * ``files_ok``    — the manifest's files_added equals the entry's
+      add-record count AND every add-record's file exists on disk.
+
+    Deeper invariants (sum of rows_in == feed size, versions strictly
+    increasing, lineage == log round-trip) live in
+    tests/test_streaming_replay.py::test_lineage_invariants."""
     from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1083,33 +1155,38 @@ def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     )
     pipe.run_available_now()
-    snap = pipe.table.log.snapshot()
+    table = pipe.table
+    snap = table.log.snapshot()
     rows = []
     for v in range(1, snap.version + 1):
-        m = pipe.table.log.read_entry(v).manifest
+        entry = table.log.read_entry(v)
+        m = entry.manifest
         if not m or m.get("rows_in") is None:
             continue
+        n_buckets_touched = len(m.get("affected_buckets", []))
+        files_added = int(m.get("files_added", 0))
+        buckets_ok = (
+            1 <= n_buckets_touched <= table.num_buckets
+            and files_added <= table.num_buckets
+        )
+        files_ok = files_added == len(entry.adds) and all(
+            os.path.isfile(os.path.join(table.path, a["path"])) for a in entry.adds
+        )
         rows.append(
             (
                 int(m["batch_id"]),
                 int(m["rows_in"]),
                 int(v),
                 int(m.get("n_input_files", 0)),
-                int(m.get("files_added", 0)),
-                len(m.get("affected_buckets", [])),
+                bool(buckets_ok),
+                bool(files_ok),
             )
         )
     return spark.createDataFrame(
         rows,
         "batch_id long, rows_in long, version long, n_input_files long, "
-        "files_added long, n_affected_buckets long",
+        "buckets_ok boolean, files_ok boolean",
     )
-
-
-ROWS_ONLY_QUERIES = {
-    "cdc_lineage_metrics": q_cdc_lineage_metrics,
-}
-QUERIES.update(ROWS_ONLY_QUERIES)
 
 
 # ------------------------------------------------------- joins / sessions
