@@ -31,10 +31,14 @@ def _shielded(fn):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
+
+    Streaming-backed: the full north-rule path (binlog segments ->
+    readStream -> foreachBatch epoch-fenced MERGE -> final table state),
+    not just the batch merge."""
     from tickers_daily_intraday_etl_spark.queries import QUERIES
 
-    return _shielded(QUERIES["cdc_merge_final_state"])(spark, "/root/testdata/sf0.001")
+    return _shielded(QUERIES["cdc_streaming_final_state"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
