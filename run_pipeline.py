@@ -4,7 +4,8 @@
       --py-files $(python -c 'from tickers_daily_intraday_etl_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())') \
       run_pipeline.py --feed <dir> --table <dir> --checkpoint <dir> \
       [--num-buckets 128] [--salt 16] [--feed-format parquet] \
-      [--compact-every N] [--merge-mode cow|mor] [--evolved-schema]
+      [--compact-every N] [--compact-delta-threshold K] \
+      [--merge-mode cow|mor] [--evolved-schema]
 
 Honors whatever master/executor topology spark-submit configures (the
 north rule's N / 4N executor deployments); local runs fall back to
@@ -29,6 +30,10 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--feed-format", default="parquet")
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--compact-delta-threshold", type=int, default=None,
+                    help="size-based trigger: fold any bucket whose live "
+                         "merge-on-read delta-file count exceeds K "
+                         "(hot buckets only; cold buckets untouched)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                     help="cow rewrites affected buckets; mor writes per-bucket "
@@ -63,6 +68,7 @@ def main() -> None:
         salt_partitions=args.salt,
         feed_format=args.feed_format,
         compact_every=args.compact_every,
+        compact_delta_files_threshold=args.compact_delta_threshold,
         max_files_per_trigger=args.max_files_per_trigger,
         merge_mode=args.merge_mode,
     )

@@ -66,14 +66,16 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmpdir_path):
 
 def test_spark_submit_merge_mode_mor(spark, tmpdir_path):
     """The --merge-mode mor deploy path: delta-file merges through
-    spark-submit, folded by --compact-every, oracle-identical state."""
+    spark-submit, hot buckets folded by --compact-delta-threshold,
+    oracle-identical state."""
     feed = os.path.join(tmpdir_path, "feed")
     table = os.path.join(tmpdir_path, "table")
     ckpt = os.path.join(tmpdir_path, "ckpt")
     events = generate_feed(n_events=800, n_docs=60, seed=6)
-    write_feed_segments(events, feed, n_segments=3)
+    write_feed_segments(events, feed, n_segments=6)
 
-    rec = _submit(feed, table, ckpt, "--merge-mode", "mor", "--compact-every", "2")
+    rec = _submit(feed, table, ckpt, "--merge-mode", "mor",
+                  "--compact-delta-threshold", "2")
     assert rec["rows_in"] == len(events)
 
     from tickers_daily_intraday_etl_spark.lake import LakeTable
@@ -89,3 +91,10 @@ def test_spark_submit_merge_mode_mor(spark, tmpdir_path):
         for _, r in oracle.iterrows()
     }
     assert got == exp
+    # the size-based trigger kept per-bucket delta pressure bounded
+    snap = t.log.snapshot()
+    counts: dict = {}
+    for a in snap.live_files.values():
+        if a.get("kind") == "delta":
+            counts[a["bucket"]] = counts.get(a["bucket"], 0) + 1
+    assert all(v <= 3 for v in counts.values()), counts
