@@ -263,7 +263,16 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        converged = S.exceptAll(E).isEmpty() and E.exceptAll(S).isEmpty()
+        # set equality as ONE job: +1/-1 multiset counts per edge, any
+        # nonzero sum = a difference (both sides are distinct already)
+        converged = (
+            S.select("u", "v", F.lit(1).alias("__d"))
+            .unionByName(E.select("u", "v", F.lit(-1).alias("__d")))
+            .groupBy("u", "v")
+            .agg(F.sum("__d").alias("__s"))
+            .where(F.col("__s") != 0)
+            .isEmpty()
+        )
         E = S
     if not converged:
         raise RuntimeError(
