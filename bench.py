@@ -91,6 +91,25 @@ def run_cdc_throughput(spark, sf: float) -> dict:
     t0 = time.time()
     pipe_big.run_available_now()
     dt_big = time.time() - t0
+    # third variant: a 2M-event feed in large segments — the sustained
+    # bulk rate with fixed costs amortized (the number comparable to the
+    # scaling bench's per-level throughput; the sf-scaled feed above is
+    # small enough that per-batch overhead dominates it)
+    bulk_events = 2_000_000
+    bulk_feed = os.path.join(work, "feed-bulk")
+    bulk = generate_feed(n_events=bulk_events, n_docs=bulk_events // 20, seed=43)
+    write_feed_segments(bulk, bulk_feed, n_segments=2)
+    pipe_bulk = CdcPipeline(
+        spark,
+        bulk_feed,
+        os.path.join(work, "table-bulk"),
+        os.path.join(work, "ckpt-bulk"),
+        num_buckets=64,
+        salt_partitions=8,
+    )
+    t0 = time.time()
+    pipe_bulk.run_available_now()
+    dt_bulk = time.time() - t0
     shutil.rmtree(work, ignore_errors=True)
     return {
         "events": total,
@@ -98,6 +117,9 @@ def run_cdc_throughput(spark, sf: float) -> dict:
         "events_per_sec": round(total / dt, 1),
         "single_batch_sec": round(dt_big, 3),
         "single_batch_events_per_sec": round(total / dt_big, 1),
+        "bulk_events": bulk_events,
+        "bulk_sec": round(dt_bulk, 3),
+        "bulk_events_per_sec": round(bulk_events / dt_bulk, 1),
     }
 
 
