@@ -198,8 +198,10 @@ def test_zone_map_merge_records_lsn_and_ts(spark, tmpdir_path):
 
 
 def test_zone_map_mor_guarded(spark, tmpdir_path):
-    """With live MoR deltas, bounded reads must resolve first (no file
-    skip) so a superseding out-of-window version still wins."""
+    """With live MoR deltas, bounded reads must resolve the delta-bearing
+    buckets first (their files read in full) so a superseding
+    out-of-window version still wins — while CLEAN buckets keep the
+    zone-map file skip."""
     import datetime as dt
 
     from tickers_daily_intraday_etl_spark.cdc.merge import merge_into
@@ -208,17 +210,34 @@ def test_zone_map_mor_guarded(spark, tmpdir_path):
     t = LakeTable.create_if_not_exists(
         spark, os.path.join(tmpdir_path, "mor"), TARGET_SCHEMA, num_buckets=2
     )
+    # two keys in different buckets: "hot" gets a MoR delta, "cold" stays CoW
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(8)], "doc_id string")
+    by_b = {}
+    for r in probe.select("doc_id", t.bucket_expr().alias("b")).collect():
+        by_b.setdefault(r.b, r.doc_id)
+    assert len(by_b) == 2
+    (hot_b, hot), (cold_b, cold) = list(by_b.items())
 
-    def ev(op, lsn, n):
-        return Row(op=op, doc_id="k", lsn=lsn,
+    def ev(doc, op, lsn, n):
+        return Row(op=op, doc_id=doc, lsn=lsn,
                    commit_ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn),
                    tokens=list(range(n)), n_tok=n, source="s")
 
-    merge_into(t, spark.createDataFrame([ev("I", 1, 5)], CDC_SCHEMA), batch_id=0)
-    # delta supersedes with n_tok OUTSIDE the queried window
-    merge_into(t, spark.createDataFrame([ev("U", 2, 50)], CDC_SCHEMA), batch_id=1, mode="mor")
+    merge_into(t, spark.createDataFrame([ev(hot, "I", 1, 5), ev(cold, "I", 2, 7)], CDC_SCHEMA), batch_id=0)
+    merge_into(t, spark.createDataFrame([ev(cold, "U", 3, 200)], CDC_SCHEMA), batch_id=1)
+    # delta supersedes hot with n_tok OUTSIDE the queried window
+    merge_into(t, spark.createDataFrame([ev(hot, "U", 4, 50)], CDC_SCHEMA), batch_id=2, mode="mor")
     assert t.has_deltas()
-    # window covers the OLD version only: resolution must hide it (the key's
+    # window covers hot's OLD version only: resolution must hide it (its
     # current version has n_tok=50, outside the window) -> empty result
     assert t.read_incremental("n_tok", lo=1, hi=10).count() == 0
-    assert t.read_incremental("n_tok", lo=40).count() == 1
+    assert {r.doc_id for r in t.read_incremental("n_tok", lo=40).collect()} == {hot, cold}
+    # the cold bucket's out-of-window file (n_tok=200 only) is zone-map
+    # skipped: a window over hot's range opens no cold-bucket files beyond
+    # the overlapping ones
+    out = t.read_incremental("n_tok", lo=45, hi=60)
+    snap = t.log.snapshot()
+    cold_files = {a["path"] for a in snap.live_files.values() if a["bucket"] == cold_b}
+    opened = {os.path.relpath(f.replace("file:", ""), t.path) for f in out.inputFiles()}
+    assert not (opened & cold_files)  # every cold file skipped
+    assert [r.doc_id for r in out.collect()] == [hot]

@@ -321,9 +321,12 @@ class LakeTable:
         Correctness at file level: on a pure-base (CoW) snapshot each key
         is stored once, so file-skip + row-filter is exact.  When
         merge-on-read deltas are live, a pruned read could miss a
-        superseding row version outside the window, so resolution runs
-        first and only the row-filter applies (conservative, still
-        correct)."""
+        superseding row version outside the window — but keys never
+        cross buckets, so only the DELTA-BEARING buckets need
+        resolution-first (their files are read in full); every clean
+        bucket keeps the zone-map skip.  A skewed feed concentrates
+        deltas in hot buckets, so at scale this reads
+        O(files-in-window + files-in-hot-buckets), not O(table)."""
         import datetime as _dt
 
         def _b(v: Any) -> Any:
@@ -333,10 +336,23 @@ class LakeTable:
                 return _stat_value(v)
             return v
 
-        if self.has_deltas(version):
-            raw = self.read_resolved(version)
+        bounds = {col: (_b(lo), _b(hi))}
+        snap = self.log.snapshot(version)
+        delta_buckets = sorted(
+            {a["bucket"] for a in snap.live_files.values() if a.get("kind") == "delta"}
+        )
+        if delta_buckets:
+            clean_buckets = sorted(
+                {a["bucket"] for a in snap.live_files.values()} - set(delta_buckets)
+            )
+            hot = self.read_resolved(version, buckets=delta_buckets)
+            if clean_buckets:
+                clean = self.read_raw(version, buckets=clean_buckets, bounds=bounds)
+                raw = hot.unionByName(clean)
+            else:
+                raw = hot
         else:
-            raw = self.read_raw(version, bounds={col: (_b(lo), _b(hi))})
+            raw = self.read_raw(version, bounds=bounds)
         cond = F.lit(True)
         c = F.col(col)
         col_type = raw.schema[col].dataType
