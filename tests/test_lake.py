@@ -241,3 +241,28 @@ def test_zone_map_mor_guarded(spark, tmpdir_path):
     opened = {os.path.relpath(f.replace("file:", ""), t.path) for f in out.inputFiles()}
     assert not (opened & cold_files)  # every cold file skipped
     assert [r.doc_id for r in out.collect()] == [hot]
+
+
+def test_zone_map_stats_survive_checkpoint_fold(spark, tmpdir_path, monkeypatch):
+    """Snapshot checkpoints serialize live_files (incl. zone-map stats)
+    through JSON; a fold that starts from a checkpoint must still prune
+    files by bounds."""
+    from tickers_daily_intraday_etl_spark.lake import log as log_mod
+
+    monkeypatch.setattr(log_mod, "CHECKPOINT_INTERVAL", 2)
+    t = _mk(spark, os.path.join(tmpdir_path, "t"), num_buckets=2)
+    _append_range(spark, t, 1, 5, "a")    # v1
+    _append_range(spark, t, 11, 15, "b")  # v2 -> checkpoint written
+    _append_range(spark, t, 21, 25, "c")  # v3 folds FROM the checkpoint
+    # fresh CommitLog instance: no memoized folds, must go through ckpt
+    t2 = LakeTable.load(spark, t.path)
+    assert any(
+        name.startswith("ckpt-") for name in os.listdir(t2.log.log_dir)
+    )
+    snap = t2.log.snapshot()
+    adds = list(snap.live_files.values())
+    assert all("stats" in a for a in adds)
+    pruned = t2._prune_adds_by_bounds(adds, {"n_tok": (21, None)})
+    assert sum(a["rows"] for a in pruned) == 5
+    out = t2.read_incremental("n_tok", lo=21)
+    assert sorted(r.n_tok for r in out.collect()) == list(range(21, 26))
