@@ -1,0 +1,180 @@
+"""CommitLog protocol tests — pure Python (no SparkSession needed).
+
+Pins the round-4 scale fixes: the read path resolves versions through
+the ``_last_checkpoint`` pointer with a BOUNDED number of files touched
+(no O(#commits) directory listing on the merge path — the class of cost
+that caused the round-2 bench drift), and ``expire_log`` retention keeps
+the log itself from growing without bound at 10^10-event scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tickers_daily_intraday_etl_spark.lake.log import (
+    CHECKPOINT_INTERVAL,
+    CommitConflict,
+    CommitLog,
+    LocalLogStore,
+    LogEntry,
+    VersionNotRetained,
+)
+
+
+class CountingStore(LocalLogStore):
+    """LocalLogStore that counts every storage primitive invoked."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.counts = {"read": 0, "exists": 0, "list": 0, "put": 0, "delete": 0}
+
+    def read(self, name):
+        self.counts["read"] += 1
+        return super().read(name)
+
+    def exists(self, name):
+        self.counts["exists"] += 1
+        return super().exists(name)
+
+    def list_names(self):
+        self.counts["list"] += 1
+        return super().list_names()
+
+    def put_if_absent(self, name, data):
+        self.counts["put"] += 1
+        return super().put_if_absent(name, data)
+
+    def put_overwrite(self, name, data):
+        self.counts["put"] += 1
+        return super().put_overwrite(name, data)
+
+    def delete(self, name):
+        self.counts["delete"] += 1
+        return super().delete(name)
+
+    @property
+    def total_io(self):
+        return sum(v for k, v in self.counts.items() if k != "put")
+
+
+def _commit_n(log: CommitLog, n: int, start: int = 0) -> None:
+    for v in range(start, start + n):
+        log.try_commit(
+            LogEntry(
+                version=v,
+                schema_json="{}",
+                adds=[{"path": f"data/f{v}.parquet", "bucket": v % 4, "rows": 10,
+                       "schema_version": 0}],
+                removes=[],
+                manifest={"batch_id": v},
+            )
+        )
+
+
+def test_snapshot_io_bounded_on_old_table(tmp_path):
+    """A COLD reader of a 200-commit table must touch O(checkpoint
+    interval) files for snapshot(), with ZERO directory listings —
+    at 10^6 commits a per-snapshot listdir is the per-batch cost that
+    grows with table age."""
+    path = str(tmp_path / "t")
+    writer = CommitLog(path)
+    _commit_n(writer, 200)
+
+    store = CountingStore(os.path.join(path, "_log"))
+    reader = CommitLog(path, store=store)
+    snap = reader.snapshot()
+    assert snap.version == 199
+    assert len(snap.live_files) == 200
+    assert store.counts["list"] == 0, "merge path must never LIST the log dir"
+    # pointer GET + ckpt GET + <=K entry reads + <=K+2 existence probes
+    assert store.total_io <= 2 * CHECKPOINT_INTERVAL + 6
+
+    # a SECOND snapshot at the same version is served from memory with
+    # only the bounded latest-version forward probe
+    before = store.total_io
+    reader.snapshot()
+    assert store.total_io - before <= 3
+
+
+def test_latest_version_probe_matches_listdir(tmp_path):
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    assert log.latest_version() is None
+    for n in (1, CHECKPOINT_INTERVAL - 1, CHECKPOINT_INTERVAL + 3, 57):
+        _commit_n(log, n - (log.latest_version() + 1 if log.latest_version() is not None else 0),
+                  start=(log.latest_version() + 1 if log.latest_version() is not None else 0))
+        cold = CommitLog(path)
+        assert cold.latest_version() == n - 1 == max(log.versions())
+
+
+def test_pointer_written_at_checkpoint(tmp_path):
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, CHECKPOINT_INTERVAL + 1)
+    ptr_file = os.path.join(path, "_log", "_last_checkpoint")
+    assert os.path.isfile(ptr_file)
+    assert json.load(open(ptr_file))["version"] == CHECKPOINT_INTERVAL
+
+
+def test_time_travel_below_pointer(tmp_path):
+    """Snapshot at a version older than the newest checkpoint must
+    probe checkpoint slots downward, not trust the pointer blindly."""
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 100)
+    cold = CommitLog(path)
+    snap = cold.snapshot(45)
+    assert snap.version == 45
+    assert len(snap.live_files) == 46
+
+
+def test_commit_conflict_still_atomic(tmp_path):
+    path = str(tmp_path / "t")
+    a, b = CommitLog(path), CommitLog(path)
+    _commit_n(a, 3)
+    with pytest.raises(CommitConflict):
+        b.try_commit(LogEntry(version=2, schema_json="{}"))
+
+
+def test_expire_log_retention(tmp_path):
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 101)  # checkpoints at 20,40,60,80,100
+
+    res = log.expire_log(retain_checkpoints=2)
+    assert res["retained_floor"] == 80
+    assert res["expired_checkpoints"] == 3
+    # entries below 80 are gone; 80..100 remain
+    assert min(log.versions()) == 80
+
+    # current state unaffected — including the FULL epoch-fence history,
+    # which the checkpoint snapshot carries
+    cold = CommitLog(path)
+    snap = cold.snapshot()
+    assert snap.version == 100
+    assert len(snap.live_files) == 101
+    assert snap.committed_batch_ids == list(range(101))
+
+    # retained-window time travel still works
+    assert cold.snapshot(85).version == 85
+    # below the floor: clear error, not a partial fold
+    fresh = CommitLog(path)
+    with pytest.raises(VersionNotRetained):
+        fresh.snapshot(50)
+
+    # writers keep committing after expiry
+    _commit_n(log, 2, start=101)
+    assert CommitLog(path).snapshot().version == 102
+
+
+def test_expire_keeps_at_least_one_checkpoint(tmp_path):
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 25)
+    with pytest.raises(ValueError):
+        log.expire_log(retain_checkpoints=0)
+    log.expire_log(retain_checkpoints=1)
+    assert CommitLog(path).snapshot().version == 24

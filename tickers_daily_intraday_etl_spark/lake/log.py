@@ -7,15 +7,24 @@ Iceberg snapshot/manifest model, re-implemented from scratch):
   the canonical table schema at that version, data files added/removed,
   and an optional commit *manifest* (batch_id + lineage) used for
   exactly-once epoch fencing.
-* Commits are made atomic with ``os.link`` (create-if-absent): two
-  concurrent writers racing for the same version — only one link
-  succeeds, the loser retries against the new snapshot.  On a real
-  object store this maps to a conditional PUT / catalog swap; the
-  protocol is identical.
+* Commits are made atomic with the store's create-if-absent primitive
+  (``os.link`` locally; conditional PUT on an object store): two
+  concurrent writers racing for the same version — only one succeeds,
+  the loser retries against the new snapshot.
 * Snapshot state = fold of all entries ``<= version``.  Every K commits
   a checkpoint file collapses the fold so log replay stays O(K) at
   10^10-event scale (same role as Delta checkpoints / Iceberg manifest
-  lists).
+  lists), and a ``_last_checkpoint`` pointer file records the newest
+  checkpoint so the read path never has to LIST the whole log
+  directory: resolving the latest version is one pointer GET plus a
+  bounded forward existence probe (<= K + a few files touched, however
+  old the table is).  Without the pointer, a million-commit table pays
+  an O(#commits) directory listing on EVERY snapshot call — the same
+  per-batch-cost-grows-with-table-age class as the round-2 bench drift.
+* ``expire_log`` prunes entries already folded into a retained
+  checkpoint (mirroring ``vacuum``'s data-file retention window): the
+  epoch-fence batch ids survive because the checkpoint snapshot carries
+  the full accumulated ``committed_batch_ids`` list.
 
 The reference repo's analog is ``CREATE TABLE IF NOT EXISTS`` probing
 ``information_schema`` (reference: staging/create_staging_tables.py:43-57)
@@ -33,6 +42,94 @@ from typing import Any
 
 CHECKPOINT_INTERVAL = 20
 _LOG_DIR = "_log"
+_LAST_CKPT_NAME = "_last_checkpoint"
+
+
+class LogStore:
+    """Minimal storage interface the commit protocol needs.  Each method
+    names the object-store primitive it maps to, so porting the log off
+    the local filesystem means implementing exactly these six calls:
+
+    * ``read(name)``            -> GET object
+    * ``put_if_absent(name,d)`` -> conditional PUT (``If-None-Match: *`` /
+      S3 conditional write / GCS ``ifGenerationMatch=0``) — MUST raise
+      ``FileExistsError`` when ``name`` already exists.  This is the one
+      primitive the commit protocol's atomicity rests on.
+    * ``put_overwrite(name,d)`` -> plain PUT (atomic replace; used only
+      for the ``_last_checkpoint`` pointer, which is a monotonic HINT —
+      losing a race here costs a few extra existence probes, never
+      correctness)
+    * ``exists(name)``          -> HEAD object
+    * ``delete(name)``          -> DELETE object
+    * ``list_names()``          -> LIST with prefix — kept OFF the
+      merge/read hot path; only admin operations (history queries,
+      ``expire_log``) may call it.
+    """
+
+    def read(self, name: str) -> str:
+        raise NotImplementedError
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        raise NotImplementedError
+
+    def put_overwrite(self, name: str, data: str) -> None:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
+    def list_names(self) -> list[str]:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """Filesystem implementation: ``os.link`` is create-if-absent,
+    ``os.replace`` is atomic overwrite, both fsynced."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, name: str) -> str:
+        with open(self._path(name)) as f:
+            return f.read()
+
+    def _write_tmp(self, data: str) -> str:
+        tmp = self._path(f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        return tmp
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        tmp = self._write_tmp(data)
+        try:
+            os.link(tmp, self._path(name))  # atomic create-if-absent
+        finally:
+            os.unlink(tmp)
+
+    def put_overwrite(self, name: str, data: str) -> None:
+        tmp = self._write_tmp(data)
+        os.replace(tmp, self._path(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def delete(self, name: str) -> None:
+        try:
+            os.unlink(self._path(name))
+        except FileNotFoundError:
+            pass
+
+    def list_names(self) -> list[str]:
+        return os.listdir(self.root)
 
 
 @dataclass
@@ -113,15 +210,20 @@ class CommitConflict(Exception):
     """Another writer committed this version first; re-read and retry."""
 
 
+class VersionNotRetained(Exception):
+    """The requested version's log entries were expired (``expire_log``);
+    only versions at or above the oldest retained checkpoint resolve."""
+
+
 class CommitLog:
     # how many folded snapshots to memoize per log (a merge asks for the
     # same version several times: planning, schema, pruned read, commit)
     _SNAP_CACHE_SIZE = 8
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, store: LogStore | None = None):
         self.table_path = table_path
         self.log_dir = os.path.join(table_path, _LOG_DIR)
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.store = store if store is not None else LocalLogStore(self.log_dir)
         # version -> folded Snapshot.  A snapshot at an EXPLICIT version is
         # immutable (the log is append-only and entry files are never
         # rewritten), so memoizing the fold is safe across writers too.
@@ -130,46 +232,95 @@ class CommitLog:
         # fixed cost grow with table age (the round-2 bench drift).
         # Callers must treat returned snapshots as read-only.
         self._snap_cache: dict[int, Snapshot] = {}
+        # highest version this process has OBSERVED to exist — forward
+        # existence probes start here (multi-writer-safe: the log is
+        # append-only, so an observed version never disappears from
+        # under the probe while it is the latest).
+        self._latest_seen: int = -1
 
-    # ---- paths ----
-    def _entry_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"v{version:020d}.json")
+    # ---- names ----
+    @staticmethod
+    def _entry_name(version: int) -> str:
+        return f"v{version:020d}.json"
 
-    def _ckpt_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"ckpt-v{version:020d}.json")
+    @staticmethod
+    def _ckpt_name(version: int) -> str:
+        return f"ckpt-v{version:020d}.json"
 
     # ---- read side ----
     def versions(self) -> list[int]:
+        """All retained entry versions.  ADMIN path (history queries,
+        tests): this is the one read that LISTs the log directory — the
+        merge/read hot path resolves versions via the ``_last_checkpoint``
+        pointer instead and never calls this."""
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.store.list_names():
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
 
+    def _pointer_version(self) -> int | None:
+        """Newest-checkpoint hint from the ``_last_checkpoint`` pointer
+        file (one GET; None when the table has no checkpoint yet)."""
+        try:
+            return int(json.loads(self.store.read(_LAST_CKPT_NAME))["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
     def latest_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        """Resolve the newest committed version WITHOUT listing the log
+        directory: start from max(checkpoint pointer, highest version
+        already observed) and probe forward while the next entry exists.
+        Files touched: 1 pointer GET + (#commits since that floor) + 1
+        existence probes — bounded by the checkpoint interval on any
+        table that checkpoints, regardless of total table age."""
+        floor = self._latest_seen
+        ptr = self._pointer_version()
+        if ptr is not None and ptr > floor:
+            floor = ptr
+        if floor < 0:
+            # no checkpoint yet (young table: < CHECKPOINT_INTERVAL
+            # commits) and nothing observed — probe from v0; bounded by
+            # the checkpoint interval since older tables have a pointer
+            if not self.store.exists(self._entry_name(0)):
+                return None
+            floor = 0
+        v = floor
+        while self.store.exists(self._entry_name(v + 1)):
+            v += 1
+        self._latest_seen = v
+        return v
 
     def read_entry(self, version: int) -> LogEntry:
-        with open(self._entry_path(version)) as f:
-            return LogEntry.from_json(f.read())
+        return LogEntry.from_json(self.store.read(self._entry_name(version)))
 
     def _latest_checkpoint_at_or_below(self, version: int) -> Snapshot | None:
-        best = None
-        for name in os.listdir(self.log_dir):
-            if name.startswith("ckpt-v") and name.endswith(".json"):
-                v = int(name[6:-5])
-                if v <= version and (best is None or v > best):
-                    best = v
-        if best is None:
-            return None
-        with open(self._ckpt_path(best)) as f:
-            return Snapshot.from_json(f.read())
+        """Nearest checkpoint <= version.  Common case (version >= newest
+        checkpoint) is one pointer GET + one checkpoint GET; time-travel
+        below the pointer probes checkpoint slots downward (multiples of
+        the interval), stopping at the first retained one."""
+        ptr = self._pointer_version()
+        if ptr is not None and ptr <= version:
+            try:
+                return Snapshot.from_json(self.store.read(self._ckpt_name(ptr)))
+            except FileNotFoundError:
+                pass  # pointer ahead of a lagging/expired ckpt: fall through
+        c = (version // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL
+        while c > 0:
+            try:
+                return Snapshot.from_json(self.store.read(self._ckpt_name(c)))
+            except FileNotFoundError:
+                c -= CHECKPOINT_INTERVAL
+        return None
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         """Fold the log up to ``version`` (default: latest).  Folds are
         memoized per explicit version (immutable once committed); treat
         the returned Snapshot as read-only."""
+        if version is not None:
+            hit = self._snap_cache.get(version)
+            if hit is not None:  # explicit-version hit: zero I/O
+                return hit
         latest = self.latest_version()
         if latest is None:
             return None
@@ -182,9 +333,10 @@ class CommitLog:
         lower = [v for v in self._snap_cache if v < version]
         if lower:
             base = self._snap_cache[max(lower)]
-        ckpt = self._latest_checkpoint_at_or_below(version)
-        if ckpt is not None and (base is None or ckpt.version > base.version):
-            base = ckpt
+        if base is None or base.version < (version // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL:
+            ckpt = self._latest_checkpoint_at_or_below(version)
+            if ckpt is not None and (base is None or ckpt.version > base.version):
+                base = ckpt
         if base is not None and base.version == version:
             self._remember(version, base)
             return base
@@ -208,7 +360,13 @@ class CommitLog:
                 properties=dict(base.properties),
             )
         for v in range(snap.version + 1, version + 1):
-            entry = self.read_entry(v)
+            try:
+                entry = self.read_entry(v)
+            except FileNotFoundError as exc:
+                raise VersionNotRetained(
+                    f"log entry v{v} was expired; snapshots below the oldest "
+                    "retained checkpoint are no longer reconstructible"
+                ) from exc
             if entry.schema_json != snap.schema_json:
                 snap.schemas[v] = entry.schema_json
                 snap.schema_json = entry.schema_json
@@ -231,18 +389,12 @@ class CommitLog:
     # ---- write side ----
     def try_commit(self, entry: LogEntry) -> None:
         """Atomically publish ``entry`` as its version, or raise CommitConflict."""
-        final = self._entry_path(entry.version)
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            f.write(entry.to_json())
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)  # atomic create-if-absent
+            self.store.put_if_absent(self._entry_name(entry.version), entry.to_json())
         except FileExistsError as exc:
             raise CommitConflict(f"version {entry.version} already committed") from exc
-        finally:
-            os.unlink(tmp)
+        if entry.version > self._latest_seen:
+            self._latest_seen = entry.version
         if entry.version > 0 and entry.version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(entry.version)
 
@@ -250,12 +402,52 @@ class CommitLog:
         snap = self.snapshot(version)
         if snap is None:
             return
-        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            f.write(snap.to_json())
         try:
-            os.link(tmp, self._ckpt_path(version))
+            self.store.put_if_absent(self._ckpt_name(version), snap.to_json())
         except FileExistsError:
             pass  # another writer checkpointed the same version — identical content
-        finally:
-            os.unlink(tmp)
+        # advance the pointer (plain PUT: monotonic hint, last writer
+        # wins; a lost race only means the next reader probes a few more
+        # entry files forward)
+        ptr = self._pointer_version()
+        if ptr is None or version > ptr:
+            self.store.put_overwrite(
+                _LAST_CKPT_NAME, json.dumps({"version": version})
+            )
+
+    # ---- retention ----
+    def expire_log(self, retain_checkpoints: int = 2) -> dict[str, Any]:
+        """Delete log entries already folded into a retained checkpoint
+        (and checkpoints older than the newest ``retain_checkpoints``).
+        Mirrors ``vacuum``'s data-file retention: time travel below the
+        oldest retained checkpoint stops working (``VersionNotRetained``),
+        while the epoch fence is unaffected — checkpoint snapshots carry
+        the full accumulated ``committed_batch_ids``.  ADMIN operation
+        (uses LIST); call it on the vacuum cadence."""
+        if retain_checkpoints < 1:
+            raise ValueError("must retain at least one checkpoint")
+        ckpts = sorted(
+            int(n[6:-5])
+            for n in self.store.list_names()
+            if n.startswith("ckpt-v") and n.endswith(".json")
+        )
+        if len(ckpts) < 1:
+            return {"expired_entries": 0, "expired_checkpoints": 0}
+        retained = ckpts[-retain_checkpoints:]
+        floor = retained[0]
+        dropped_entries = 0
+        for v in self.versions():
+            if v < floor:
+                self.store.delete(self._entry_name(v))
+                dropped_entries += 1
+        for c in ckpts:
+            if c not in retained:
+                self.store.delete(self._ckpt_name(c))
+        # expired folds must not be served from memory either
+        for v in [v for v in self._snap_cache if v < floor]:
+            del self._snap_cache[v]
+        return {
+            "expired_entries": dropped_entries,
+            "expired_checkpoints": len(ckpts) - len(retained),
+            "retained_floor": floor,
+        }

@@ -116,6 +116,7 @@ def vacuum(
     retain_last_n_versions: int = 1,
     dry_run: bool = False,
     min_age_seconds: float = 3600.0,
+    expire_log_checkpoints: int | None = None,
 ) -> dict[str, Any]:
     """Delete data files no snapshot in the retention window references.
     Time travel to vacuumed-away versions stops working — exactly the
@@ -125,6 +126,11 @@ def vacuum(
     has not committed yet (they are unreferenced by ANY snapshot until the
     commit lands) — the same modification-time guard Delta's VACUUM uses.
     Tests pass 0 to vacuum eagerly.
+
+    ``expire_log_checkpoints``: additionally prune the COMMIT LOG down to
+    the newest N checkpoints (``CommitLog.expire_log``) — the log-side
+    twin of data-file vacuum, without which a continuously-merged table
+    accumulates one log entry per micro-batch forever.
     """
     import time
 
@@ -152,4 +158,7 @@ def vacuum(
         for root, dirs, files in os.walk(data_root, topdown=False):
             if not dirs and not files and root != data_root:
                 os.rmdir(root)
-    return {"orphan_files": len(orphans), "deleted": not dry_run}
+    out: dict[str, Any] = {"orphan_files": len(orphans), "deleted": not dry_run}
+    if expire_log_checkpoints is not None and not dry_run:
+        out["log"] = table.log.expire_log(retain_checkpoints=expire_log_checkpoints)
+    return out
