@@ -68,10 +68,10 @@ _WIDENINGS = {
 
 def _stat_value(v: Any) -> Any:
     """Normalize a parquet row-group statistic to a JSON-safe, totally
-    ordered value: ints/floats pass through, timestamps become
-    micros-since-epoch (naive = NTZ, compared against naive bounds), all
-    other types (strings/binary — unbounded size, truncation-ambiguous)
-    are dropped."""
+    ordered value: ints/floats/strings pass through (strings are
+    truncated later, at record-build time, under the safe-bounds
+    convention), timestamps become micros-since-epoch (naive = NTZ,
+    compared against naive bounds), binary is dropped."""
     import datetime as _dt
 
     if isinstance(v, bool):  # bool is an int subclass; min/max not useful
@@ -79,6 +79,8 @@ def _stat_value(v: Any) -> Any:
     if isinstance(v, int):
         return v
     if isinstance(v, float):
+        return v
+    if isinstance(v, str):
         return v
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
@@ -88,6 +90,35 @@ def _stat_value(v: Any) -> Any:
         return (v - epoch) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+# String zone-map stats are truncated to this many characters so the JSON
+# log stays small however long the values get (100 TB of documents can
+# carry multi-KB keys/sources).
+_STRING_STAT_PREFIX = 16
+
+
+def _truncate_stat_bounds(lo: str, hi: str) -> tuple[str, str] | None:
+    """Parquet's truncated-statistics convention, re-applied at the
+    zone-map layer: a truncated MIN prefix is still <= every value (safe
+    lower bound as-is), but a truncated MAX prefix would be < the true
+    max — so the max prefix's last code point is incremented to yield a
+    bound strictly above everything sharing the prefix.  UTF-8 byte order
+    equals code-point order, so these compare consistently with the
+    Python-string predicates used at scan time.  Returns None when no
+    safe upper bound exists (pathological all-U+10FFFF prefix)."""
+    lo_t = lo[:_STRING_STAT_PREFIX]
+    if len(hi) <= _STRING_STAT_PREFIX:
+        return lo_t, hi
+    p = hi[:_STRING_STAT_PREFIX]
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                nxt = 0xE000
+            return lo_t, p[:i] + chr(nxt)
     return None
 
 
@@ -329,8 +360,15 @@ class LakeTable:
         O(files-in-window + files-in-hot-buckets), not O(table)."""
         import datetime as _dt
 
+        is_time_col = isinstance(
+            self.stored_schema(version)[col].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+
         def _b(v: Any) -> Any:
-            if isinstance(v, str):
+            # ISO strings are timestamp bounds ONLY for time-typed
+            # columns; on a string column they are literal values (the
+            # zone maps store truncated string bounds for those)
+            if isinstance(v, str) and is_time_col:
                 return ts_micros(v)
             if isinstance(v, _dt.datetime):
                 return _stat_value(v)
@@ -364,6 +402,32 @@ class LakeTable:
             raw.where(cond)
             .where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .drop(LSN_COL, COMMIT_TS_COL, DELETED_COL)
+        )
+
+    def lookup(self, value: Any, version: int | None = None) -> DataFrame:
+        """Point read: current visible row(s) whose key equals ``value``.
+        The string zone maps make this open only the files whose
+        (truncated) key range covers the value — the engine-side analog
+        of the reference's per-ticker probe
+        (reference: staging/extract_staging_data.py:44-45).
+
+        MoR-safe WITHOUT resolving whole buckets: the pruning predicate
+        is on the KEY column itself, and every stored version of a key
+        has the same key value, so key-bounds pruning can never drop a
+        superseding version — LWW then resolves across whatever files
+        remain."""
+        from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
+
+        # bucket of the literal, computed with the SAME hash the writer
+        # used (1-row driver-local job — keys hash across buckets, so
+        # without this every bucket's base file survives pruning)
+        bucket = self.spark.range(1).select(self.bucket_expr(F.lit(value))).first()[0]
+        raw = self.read_raw(
+            version, buckets=[bucket], bounds={self.key_col: (value, value)}
+        ).where(F.col(self.key_col) == F.lit(value))
+        resolved = lww_winner(raw, self.key_col, LSN_COL, COMMIT_TS_COL)
+        return resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+            LSN_COL, COMMIT_TS_COL, DELETED_COL
         )
 
     def committed_batch_ids(self) -> set:
@@ -431,11 +495,26 @@ class LakeTable:
                     if lo is None or hi is None:
                         continue
                     name = col.path_in_schema
+                    if "." in name:
+                        # nested paths (array elements, struct leaves) —
+                        # no scan predicate keys on them; recording them
+                        # would bloat every add-record for nothing
+                        continue
                     if name in stats:
                         stats[name][0] = min(stats[name][0], lo)
                         stats[name][1] = max(stats[name][1], hi)
                     else:
                         stats[name] = [lo, hi]
+            # string columns: store truncated-but-safe bounds (exact
+            # min/max were merged above; truncate once per file here)
+            for name in list(stats):
+                lo, hi = stats[name]
+                if isinstance(lo, str):
+                    t = _truncate_stat_bounds(lo, hi)
+                    if t is None:
+                        del stats[name]
+                    else:
+                        stats[name] = list(t)
             rec: dict[str, Any] = {
                 "path": rel,
                 "bucket": bucket,
