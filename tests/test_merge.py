@@ -289,3 +289,64 @@ def test_crash_before_commit_cow(spark, tmpdir_path):
 
 def test_crash_before_commit_mor(spark, tmpdir_path):
     _crash_case(spark, tmpdir_path, "mor")
+
+
+# ---------------------------------------------------------------- dense path
+def test_dense_merge_matches_sparse_merge(spark, tmpdir_path):
+    """The dense (Observation-fused, no pre-scan) CoW path must produce
+    the identical final state, op counts and rows_in as the pruning
+    path on the same batches."""
+    import os as _os
+
+    batches = [
+        [_ev("I", f"d{i}", i + 1, tokens=[i]) for i in range(40)],
+        [_ev("U", f"d{i}", 100 + i, ts_s=1, tokens=[i, i]) for i in range(0, 40, 2)]
+        + [_ev("D", f"d{i}", 200 + i, ts_s=2) for i in range(0, 40, 5)],
+    ]
+    t_sparse = LakeTable.create_if_not_exists(
+        spark, _os.path.join(tmpdir_path, "sparse"), TARGET_SCHEMA, num_buckets=4
+    )
+    t_dense = LakeTable.create_if_not_exists(
+        spark, _os.path.join(tmpdir_path, "dense"), TARGET_SCHEMA, num_buckets=4
+    )
+    for b, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, CDC_SCHEMA)
+        m_s = merge_into(t_sparse, df, batch_id=b, dense=False)
+        m_d = merge_into(t_dense, df, batch_id=b, dense=True)
+        assert m_s["rows_in"] == m_d["rows_in"]
+        assert m_s["op_counts"] == m_d["op_counts"]
+    assert _state(t_sparse) == _state(t_dense)
+
+
+def test_dense_merge_through_streaming_pipeline(spark, tmpdir_path):
+    """Round-4 regression: the dense path's Observation must complete
+    inside foreachBatch (the batch df lives in a CLONED session; the
+    merge's union must keep the batch side on the left so the write
+    executes where the observation listener is registered — building it
+    the other way round deadlocks obs.get forever)."""
+    import os as _os
+
+    from tickers_daily_intraday_etl_spark.cdc import merge as M
+    from tickers_daily_intraday_etl_spark.sources.changefeed import write_feed
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    feed = _os.path.join(tmpdir_path, "feed")
+    rows = [_ev("I", f"d{i % 10}", i + 1, tokens=[i]) for i in range(20)]
+    write_feed(spark.createDataFrame(rows, CDC_SCHEMA), feed, fmt="parquet")
+
+    orig = M._merge_once
+
+    def force_dense(table, changes, batch_id, salt, extra, mode, dense=None):
+        return orig(table, changes, batch_id, salt, extra, mode, dense=True)
+
+    M._merge_once = force_dense
+    try:
+        pipe = CdcPipeline(
+            spark, feed, _os.path.join(tmpdir_path, "t"),
+            _os.path.join(tmpdir_path, "c"), num_buckets=4,
+        )
+        lineage = pipe.run_available_now()
+    finally:
+        M._merge_once = orig
+    assert [m.get("rows_in") for m in lineage] == [20]
+    assert {r.doc_id for r in pipe.table.read().collect()} == {f"d{i}" for i in range(10)}

@@ -15,17 +15,20 @@ copy-on-write MERGE with these semantics:
 * key absent in target      -> insert (op='D' inserts a tombstone so a
   later-arriving stale update still loses — replay equality demands it)
 
-Physical plan (scale-first, exactly TWO jobs per batch):
-1. one small stats aggregation over the batch — (op x bucket) counts,
-   which yields rows_in, per-op counts AND the affected-bucket list in a
-   single pass;
+Physical plan (scale-first, ONE or two jobs per batch):
+1. affected-bucket discovery — for a SPARSE batch, one small stats
+   aggregation ((op x bucket) counts: rows_in, per-op counts and the
+   affected-bucket list in a single pass); for a DENSE batch (Catalyst
+   row estimate says every bucket is touched) the scan is skipped
+   entirely and the counts ride the write as an Observation;
 2. one fused LWW aggregation: pruned-target rows UNIONed with raw batch
    rows, winner per key = max(lsn, commit_ts, fingerprint) — in-batch
    dedup and target-vs-batch conflict resolution are the same max, so
    there is no separate dedup shuffle and no join anywhere;
 then the affected buckets are rewritten and the commit (data files +
 batch manifest + per-bucket lineage) is atomic.  At 100 TB a batch
-touching 1% of buckets reads/writes 1% of the table.
+touching 1% of buckets reads/writes 1% of the table; a bulk-load batch
+pays a single pass over its data.
 """
 
 from __future__ import annotations
@@ -49,6 +52,43 @@ from tickers_daily_intraday_etl_spark.lake.table import (
 )
 
 
+# A batch with >= this many rows PER BUCKET almost surely touches every
+# bucket (untouched-bucket probability per bucket: e^-8 ~= 3e-4), so the
+# pre-merge stats scan buys no pruning — skip it and fuse the op counts
+# into the write via an Observation, exactly like the MoR path.
+_DENSE_BATCH_ROWS_PER_BUCKET = 8
+# conservative (high) compressed-bytes-per-row guess for the size-based
+# row estimate: overestimating bytes/row UNDERestimates rows, which only
+# ever keeps the pruning pre-scan — never skips it wrongly
+_EST_BYTES_PER_ROW = 256
+# absolute floor for the AUTO dense decision: parquet footers make tiny
+# files look like tens of phantom rows each, so a size-derived estimate
+# under this is noise — keep the pruning path (deterministically so for
+# small unit-test batches; callers can force `dense=True` explicitly)
+_DENSE_MIN_EST_ROWS = 10_000
+
+
+def _estimated_rows(changes: DataFrame) -> int | None:
+    """Catalyst-statistics row estimate, METADATA-ONLY (no job): exact
+    rowCount when the optimizer knows it, else sizeInBytes divided by a
+    conservative row width.  None when the plan carries no stats."""
+    try:
+        stats = changes._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if size >= 1 << 50:
+            # Spark reports defaultSizeInBytes (Long.MaxValue) for plans
+            # it cannot size (e.g. RDD-backed frames) — that is "UNKNOWN",
+            # not "huge"; treating it as huge would force every such
+            # batch down the no-pruning path
+            return None
+        return size // _EST_BYTES_PER_ROW
+    except Exception:
+        return None
+
+
 def _to_stored_rows(changes: DataFrame, stored_schema: T.StructType) -> DataFrame:
     """Project change events onto the table's stored layout:
     payload columns + (_lsn, _commit_ts, _deleted)."""
@@ -69,6 +109,7 @@ def merge_into(
     extra_manifest: dict[str, Any] | None = None,
     mode: str = "cow",
     max_conflict_retries: int = 2,
+    dense: bool | None = None,
 ) -> dict[str, Any]:
     """Apply one change batch exactly-once. Returns the lineage manifest.
 
@@ -102,7 +143,7 @@ def merge_into(
     while True:
         try:
             return _merge_once(
-                table, changes, batch_id, salt_partitions, extra_manifest, mode
+                table, changes, batch_id, salt_partitions, extra_manifest, mode, dense
             )
         except ConcurrentModificationError:
             if attempt >= max_conflict_retries:
@@ -117,6 +158,7 @@ def _merge_once(
     salt_partitions: int,
     extra_manifest: dict[str, Any] | None,
     mode: str,
+    dense: bool | None = None,
 ) -> dict[str, Any]:
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
@@ -201,37 +243,69 @@ def _merge_once(
         lineage["skipped"] = False
         return lineage
 
-    # -- 2. one stats pass: (op x bucket) counts => rows_in, op_counts,
-    #       affected buckets (CoW needs them BEFORE the merge, to prune
-    #       the target read).  Small result (<= 3 * num_buckets rows).
-    stats = (
-        changes.select(S.OP_COL, table.bucket_expr().alias(BUCKET_COL))
-        .groupBy(S.OP_COL, BUCKET_COL)
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
+    # -- 2. learn the affected buckets.  DENSE batches (Catalyst row
+    #       estimate >= 8 rows/bucket, metadata-only) touch every bucket
+    #       with near-certainty, so the pre-merge stats scan cannot prune
+    #       anything — fuse rows_in/op-counts into the write via an
+    #       Observation (one fewer full batch scan per micro-batch, the
+    #       dominant FIXED cost of the CoW hot path).  Sparse batches
+    #       keep the pruning pre-scan: one small (op x bucket) aggregate
+    #       (<= 3 * num_buckets rows) that bounds the rewrite to the
+    #       touched fraction of the table.
+    if dense is None:  # auto: metadata-only Catalyst estimate
+        est = _estimated_rows(changes)
+        dense = est is not None and est >= max(
+            _DENSE_BATCH_ROWS_PER_BUCKET * table.num_buckets, _DENSE_MIN_EST_ROWS
+        )
+    obs = None
     op_counts: dict[str, int] = {}
     affected_set: set[int] = set()
-    for r in stats:
-        op_counts[r[S.OP_COL]] = op_counts.get(r[S.OP_COL], 0) + r["n"]
-        affected_set.add(r[BUCKET_COL])
-    rows_in = sum(op_counts.values())
-    _t_stats = _time.time()
-    if rows_in == 0:
-        # Conditional-skip sink (reference: staging/load_staging_data.py:38-48)
-        # — still record the epoch so the fence holds.
-        version = table._commit([], [], table.stored_schema(), {"batch_id": batch_id, "rows_in": 0})
-        return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
+    rows_in = -1  # unknown until the write runs (dense path)
+    if dense:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        changes = changes.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            *[
+                F.count(F.when(F.col(S.OP_COL) == o, 1)).alias(f"n_{o}")
+                for o in ("I", "U", "D")
+            ],
+        )
+        affected_set = set(range(table.num_buckets))
+    else:
+        stats = (
+            changes.select(S.OP_COL, table.bucket_expr().alias(BUCKET_COL))
+            .groupBy(S.OP_COL, BUCKET_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in stats:
+            op_counts[r[S.OP_COL]] = op_counts.get(r[S.OP_COL], 0) + r["n"]
+            affected_set.add(r[BUCKET_COL])
+        rows_in = sum(op_counts.values())
+        if rows_in == 0:
+            # Conditional-skip sink (reference: staging/load_staging_data.py:38-48)
+            # — still record the epoch so the fence holds.
+            version = table._commit([], [], table.stored_schema(), {"batch_id": batch_id, "rows_in": 0})
+            return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
     affected = sorted(affected_set)
+    _t_stats = _time.time()
 
     src = _to_stored_rows(changes, evolved).withColumn(BUCKET_COL, table.bucket_expr())
 
     # -- 3. bucket pruning + fused union/LWW winner (single shuffle)
     old_adds = [a for a in snap.live_files.values() if a["bucket"] in affected_set]
-    target = table.read_raw(version=snap.version, buckets=affected)
+    target = table.read_raw(version=snap.version, buckets=None if dense else affected)
     target = align_to_schema(target, evolved).withColumn(BUCKET_COL, table.bucket_expr())
     cols = [f.name for f in evolved.fields] + [BUCKET_COL]
-    unioned = target.select(*cols).unionByName(src.select(*cols))
+    # batch side on the LEFT: a union's Dataset inherits the left side's
+    # SparkSession, and inside foreachBatch the batch df lives in a
+    # CLONED session — the dense path's Observation listener registers
+    # there, so the write must execute there too or `obs.get` waits
+    # forever on a listener bus that never fires (the round-4 hang)
+    unioned = src.select(*cols).unionByName(target.select(*cols))
     merged = lww_winner(
         unioned, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
     )
@@ -240,6 +314,16 @@ def _merge_once(
     _t_plan = _time.time()
     new_adds = table._write_data(merged, len(affected))
     _t_write = _time.time()
+    if dense:
+        metrics = obs.get
+        rows_in = int(metrics["rows_in"])
+        if rows_in == 0:
+            # the estimate was wrong and the rewrite was an identity —
+            # commit ONLY the epoch fence; the just-written files stay
+            # uncommitted orphans for vacuum's min-age sweep
+            version = table._commit([], [], evolved, {"batch_id": batch_id, "rows_in": 0})
+            return {"batch_id": batch_id, "rows_in": 0, "version": version, "skipped": False}
+        op_counts = {o: int(metrics[f"n_{o}"]) for o in ("I", "U", "D") if metrics[f"n_{o}"]}
     lineage = {
         "batch_id": batch_id,
         "rows_in": rows_in,

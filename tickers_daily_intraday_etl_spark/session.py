@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # a pruned lake-table read passes an explicit file list; above
+        # this threshold Spark launches a DISTRIBUTED LISTING JOB per
+        # read (default 32 paths) — pure fixed cost per micro-batch
+        # (~0.4s measured for a 128-file target read).  Driver-side
+        # listing of an explicit path list is metadata-only; keep it
+        # local.  (On a real object-store deployment with millions of
+        # files per read, lower this again.)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
