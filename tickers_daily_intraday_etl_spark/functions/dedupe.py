@@ -90,16 +90,24 @@ def lsh_candidate_pairs(
         parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
     banded = sigs.select(F.col(id_col), *band_cols)
-    from pyspark.storagelevel import StorageLevel
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        persist_tracked,
+        release_previous,
+    )
 
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("h")) for b in range(bands)])
-        ).alias("bh"),
-    ).select(id_col, F.col("bh.band_id"), F.col("bh.h")).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted: both self-join sides re-derive the MinHash aggregation
-    # otherwise (the upstream explode+groupBy is the expensive part)
+    release_previous("lsh_candidate_pairs")
+    stacked = persist_tracked(
+        "lsh_candidate_pairs",
+        banded.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("h")) for b in range(bands)])
+            ).alias("bh"),
+        ).select(id_col, F.col("bh.band_id"), F.col("bh.h")),
+    )
+    # persisted (tracked, one generation max — see _cache.py): both
+    # self-join sides re-derive the MinHash aggregation otherwise
+    # (the upstream explode+groupBy is the expensive part)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -142,13 +150,21 @@ def ngram_jaccard_pairs(
     aggregation AND the capped join's probe side (dropping that persist
     re-runs the explode and measured 4.8s vs 3.6s at sf0.1), the
     post-cap result feeds the remaining three branches.  Cache lifetime
-    is bounded by the caller: the bench harness ``clearCache()``s
-    between queries, and Spark's LRU owns eviction within one."""
-    from pyspark.storagelevel import StorageLevel
+    is bounded to ONE generation per operator (_cache.py): a repeat call
+    releases the previous call's persists on entry, and callers can
+    ``release_caches()`` once results are materialized."""
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        persist_tracked,
+        release_previous,
+    )
 
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    release_previous("ngram_jaccard_pairs")
+    ex = persist_tracked(
+        "ngram_jaccard_pairs",
+        df.select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+        ),
+    )
     if max_doc_freq is not None:
         rare = (
             ex.groupBy("__sh")
@@ -156,7 +172,7 @@ def ngram_jaccard_pairs(
             .where(F.col("__df") <= max_doc_freq)
             .select("__sh")
         )
-        ex = ex.join(rare, "__sh").persist(StorageLevel.MEMORY_AND_DISK)
+        ex = persist_tracked("ngram_jaccard_pairs", ex.join(rare, "__sh"))
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("__n"))  # shingles are distinct already
     inter = (
         ex.alias("l")
@@ -216,12 +232,26 @@ def connected_components(
     documented exact-fixpoint contract.  ``stats`` (optional dict) gets
     ``{"rounds": n}`` recorded for convergence tests.
 
-    Each round's edge set is ``localCheckpoint``-ed: the round N plan
-    references round N-1's several times, so without lineage truncation
-    the logical plan grows ~4x per round and Catalyst analysis time
-    explodes long before the data does.  (On a real cluster prefer
-    ``checkpoint()`` to reliable storage for fault tolerance; the
-    truncation role is identical.)"""
+    Constant-factor shape (round-4 tuning): the large-star output is NOT
+    distinct-ed — its only consumers are the small-star groupBy (which
+    dedups contributions by construction) and the small-star join whose
+    result feeds the final distinct, so the extra shuffle bought nothing.
+    Lineage is truncated with ``localCheckpoint`` every OTHER round
+    (odd rounds persist in memory instead): the round-N plan references
+    round N-1's several times and grows ~4x per round, so unbounded
+    lineage kills Catalyst analysis long before the data hurts — but a
+    per-round checkpoint pays a full storage write per round, and a
+    2-round truncation cadence bounds plan depth at the same asymptote
+    for half the writes.  (On a real cluster prefer ``checkpoint()`` to
+    reliable storage for fault tolerance; the truncation role is
+    identical.)"""
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        checkpoint_tracked,
+        persist_tracked,
+        release_previous,
+    )
+
+    release_previous("connected_components")
     # canonical orientation (larger, smaller): stable representation for
     # the converged-set comparison below
     E = (
@@ -231,8 +261,8 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    E = checkpoint_tracked("connected_components", E)
     rounds = 0
     converged = E.isEmpty()
     for _ in range(max_iters):
@@ -242,12 +272,14 @@ def connected_components(
         # ---- large-star ----
         sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # no distinct here: the small-star groupBy dedups its min
+        # contributions anyway, and the duplicate (b, m) join rows fold
+        # into S's final distinct — one whole edge-set shuffle saved/round
         large = (
             sym.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star (edges of `large` are already child>parent) ----
         oriented = large.select(
@@ -261,8 +293,14 @@ def connected_components(
             .unionByName(mins2.select(F.col("a").alias("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        # truncate lineage every other round; in between, an in-memory
+        # persist (tracked) is enough — the convergence check below
+        # materializes S either way
+        if rounds % 2 == 0:
+            S = checkpoint_tracked("connected_components", S)
+        else:
+            S = persist_tracked("connected_components", S)
         # set equality as ONE job: +1/-1 multiset counts per edge, any
         # nonzero sum = a difference (both sides are distinct already)
         converged = (
@@ -349,24 +387,29 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3, bit
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    from pyspark.storagelevel import StorageLevel
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        persist_tracked,
+        release_previous,
+    )
 
-    parts = sig_df.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ch"),
-    ).select(id_col, "simhash", F.col("ch.chunk_id"), F.col("ch.chunk")).persist(
-        StorageLevel.MEMORY_AND_DISK  # both join sides re-derive the SimHash agg otherwise
+    release_previous("simhash_near_pairs")
+    parts = persist_tracked(  # both join sides re-derive the SimHash agg otherwise
+        "simhash_near_pairs",
+        sig_df.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_id"),
+                            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("ch"),
+        ).select(id_col, "simhash", F.col("ch.chunk_id"), F.col("ch.chunk")),
     )
     l, r = parts.alias("l"), parts.alias("r")
     cand = (

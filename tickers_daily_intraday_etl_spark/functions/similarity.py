@@ -183,26 +183,31 @@ def ann_multitable_pairs(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    from pyspark.storagelevel import StorageLevel
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        persist_tracked,
+        release_previous,
+    )
 
-    stacked = v.select(
-        id_col,
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        hyperplane_lsh_bucket(
-                            F.col("__v"), make_hyperplanes(n_planes, dim, seed + t)
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "__v", F.col("tb.table_id"), F.col("tb.bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK  # both join sides re-dot 8*n_tables hyperplanes otherwise
+    release_previous("ann_multitable_pairs")
+    stacked = persist_tracked(  # both join sides re-dot 8*n_tables hyperplanes otherwise
+        "ann_multitable_pairs",
+        v.select(
+            id_col,
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_id"),
+                            hyperplane_lsh_bucket(
+                                F.col("__v"), make_hyperplanes(n_planes, dim, seed + t)
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, "__v", F.col("tb.table_id"), F.col("tb.bucket")),
     )
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = l.join(
