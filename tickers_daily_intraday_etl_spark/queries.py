@@ -840,6 +840,148 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+# -------------------------------------------------------- dedup quality
+# Recall floors pinned by the dedup_quality gate: a parameter change that
+# silently destroys approximate-search recall must FAIL correctness, not
+# just shift a number.  Floors chosen below measured recall with headroom
+# (measured: LSH 1.0 / 1.0, SimHash 0.778 / 0.86, ANN 1.0 / 1.0 at
+# sf0.001 / sf0.01).
+_QUALITY_FLOORS = {"minhash_lsh": 0.8, "simhash_h3": 0.7, "ann_multitable": 0.9}
+_QUALITY_JACCARD = 0.5  # ground-truth threshold for the text families
+
+
+def _dedup_quality_sql() -> str:
+    floors = _QUALITY_FLOORS
+    cos_lr = _COS_SQL.format(a="l.e", b="r.e")
+    return f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_JACCARD_MAX_DF}),
+    shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    jpairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+      FROM shc l JOIN shc r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM jpairs
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {_QUALITY_JACCARD}
+    ),
+    lsh AS ({_lsh_pairs_sql()}),
+    sim AS (
+      WITH {_simhash_body('neardocs', bits=64)}
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    ),
+    {_AUG_EMB_SQL},
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug),
+    etruth AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM ev l JOIN ev r ON l.vec_id < r.vec_id
+      WHERE {cos_lr} >= 0.99
+    ),
+    ann AS (
+      SELECT id_a, id_b FROM (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b, {cos_lr} AS c
+        FROM (SELECT vec_id, e,
+                     {_bucket_sql('e', _ann_planes(16, seed=42))} AS b0,
+                     {_bucket_sql('e', _ann_planes(16, seed=43))} AS b1 FROM ev) l
+        JOIN (SELECT vec_id, e,
+                     {_bucket_sql('e', _ann_planes(16, seed=42))} AS b0,
+                     {_bucket_sql('e', _ann_planes(16, seed=43))} AS b1 FROM ev) r
+          ON l.vec_id < r.vec_id AND (l.b0 = r.b0 OR l.b1 = r.b1)
+      ) p WHERE c >= 0.99
+    ),
+    m AS (
+      SELECT 'minhash_lsh' AS family, {floors['minhash_lsh']} AS rfloor,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM lsh) AS n_candidates,
+             (SELECT count(*) FROM lsh JOIN truth USING (id_a, id_b)) AS n_hit
+      UNION ALL
+      SELECT 'simhash_h3', {floors['simhash_h3']},
+             (SELECT count(*) FROM truth),
+             (SELECT count(*) FROM sim),
+             (SELECT count(*) FROM sim JOIN truth USING (id_a, id_b))
+      UNION ALL
+      SELECT 'ann_multitable', {floors['ann_multitable']},
+             (SELECT count(*) FROM etruth),
+             (SELECT count(*) FROM ann),
+             (SELECT count(*) FROM ann JOIN etruth USING (id_a, id_b))
+    )
+    SELECT family, n_truth::BIGINT AS n_truth,
+           n_candidates::BIGINT AS n_candidates, n_hit::BIGINT AS n_hit,
+           round(n_hit::DOUBLE / nullif(n_candidates, 0), 6) AS precision_,
+           round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS recall,
+           (n_hit::DOUBLE / nullif(n_truth, 0)) >= rfloor AS recall_ok
+    FROM m
+    """
+
+
+@register("dedup_quality", _dedup_quality_sql())
+def q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of every approximate near-dup family against
+    EXACT ground truth, as a graded gate: MinHash-LSH and SimHash
+    candidates vs df-capped n-gram Jaccard >= 0.5 on the near-dup
+    corpus; multitable ANN pairs vs brute-force cosine >= 0.99 on the
+    dup-injected embeddings.  ``recall_ok`` pins each family's recall
+    to a declared floor (_QUALITY_FLOORS) so a future parameter change
+    (bands, chunk width, plane count) that silently destroys recall
+    fails the correctness gate instead of passing on determinism alone.
+
+    The brute-force truth sides are O(n^2) BY DESIGN — they are the
+    evaluation baseline, run on the bounded eval corpus (at 100 TB this
+    protocol runs on a sampled slice, never the full table); the
+    candidates under test keep their bucket-join shape."""
+    docs = _near_docs(spark, sf_dir)
+    truth = dedupe.ngram_jaccard_pairs(
+        docs, "text", "doc_id",
+        shingle_k=3, threshold=_QUALITY_JACCARD, max_doc_freq=_JACCARD_MAX_DF,
+    ).select("id_a", "id_b")
+    sigs = dedupe.minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    lsh = dedupe.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select("id_a", "id_b")
+    ssig = dedupe.simhash(docs, "text", "doc_id", bits=64)
+    sim = dedupe.simhash_near_pairs(ssig, "doc_id", max_hamming=3, bits=64).select("id_a", "id_b")
+
+    emb = _aug_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    le, re_ = emb.alias("l"), emb.alias("r")
+    etruth = (
+        le.join(re_, F.col("l.vec_id") < F.col("r.vec_id"))
+        .where(similarity.cosine(F.col("l.e"), F.col("r.e")) >= 0.99)
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+    )
+    ann = similarity.ann_multitable_pairs(
+        _aug_embeddings(spark, sf_dir), "embedding", "vec_id",
+        n_planes=16, n_tables=2, seed=42, threshold=0.99,
+    ).select("id_a", "id_b")
+
+    def one(family: str, cand: DataFrame, tr: DataFrame) -> DataFrame:
+        nt = tr.agg(F.count("*").alias("n_truth"))
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        nh = cand.join(tr, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+        return nt.crossJoin(nc).crossJoin(nh).select(
+            F.lit(family).alias("family"),
+            F.lit(float(_QUALITY_FLOORS[family])).alias("rfloor"),
+            "n_truth", "n_candidates", "n_hit",
+        )
+
+    m = (
+        one("minhash_lsh", lsh, truth)
+        .unionByName(one("simhash_h3", sim, truth))
+        .unionByName(one("ann_multitable", ann, etruth))
+    )
+    recall = F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0))
+    return m.select(
+        "family", "n_truth", "n_candidates", "n_hit",
+        F.round(F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 6).alias("precision_"),
+        F.round(recall, 6).alias("recall"),
+        (recall >= F.col("rfloor")).alias("recall_ok"),
+    )
+
+
 # ------------------------------------------------------------ OLAP classics
 @register(
     "pricing_summary",
