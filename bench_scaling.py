@@ -45,6 +45,55 @@ PIN_CPUS = os.environ.get("SCALING_PIN", "1") == "1" and shutil.which("taskset")
 # calibrations are reported alongside with their own per-metric verdicts
 # strictly as diagnostics.
 PASS_METRIC = os.environ.get("SCALING_PASS_METRIC", "scaling_efficiency_best")
+# Quiet-window gate: the sandbox shares its host with unrelated external
+# load, which is what produced round 3's honest-but-noisy FAIL sets.
+# Before EVERY measured run the harness samples external CPU busy-cores
+# (/proc/stat delta — instantaneous, unlike the 1-min loadavg which
+# takes minutes to decay after our own runs) and waits until it is
+# below the gate.  Each run records the busy-cores + loadavg it
+# launched under, so the final set is auditable: a PASS from runs that
+# all note sub-gate load, not a lucky max over mixed windows.
+QUIET_GATE_CORES = float(os.environ.get("SCALING_QUIET_CORES", "1.5"))
+QUIET_TIMEOUT_SEC = float(os.environ.get("SCALING_QUIET_TIMEOUT", "900"))
+
+
+def _busy_cores(interval: float = 1.0) -> float:
+    """External CPU pressure right now, in busy cores (whole host).
+    Sampled between our runs — no local Spark JVM is alive — so this is
+    purely the unrelated load the sandbox host carries."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t1, i1 = snap()
+    time.sleep(interval)
+    t2, i2 = snap()
+    total, idle = t2 - t1, i2 - i1
+    ncpu = os.cpu_count() or 1
+    return ncpu * (1.0 - idle / total) if total else 0.0
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet() -> tuple[float, float, bool]:
+    """Block until external busy-cores <= gate (or timeout).  Returns
+    (busy_cores, loadavg1, clean) observed at release time."""
+    deadline = time.time() + QUIET_TIMEOUT_SEC
+    busy = _busy_cores()
+    while busy > QUIET_GATE_CORES and time.time() < deadline:
+        print(
+            f"  [quiet-gate] external busy-cores {busy:.2f} > gate "
+            f"{QUIET_GATE_CORES} — waiting",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        busy = _busy_cores()
+    return busy, _loadavg1(), busy <= QUIET_GATE_CORES
 
 
 def worker(cpus: int, feed_dir: str, work_dir: str) -> None:
@@ -177,6 +226,7 @@ def main() -> None:
     generate(feed_dir)
 
     results: dict[int, list[float]] = {c: [] for c in LEVELS}
+    run_detail: dict[int, list[dict]] = {c: [] for c in LEVELS}
     hw_ratios: list[float] = []
     # memory-bandwidth scaling of the SAME core ratio, measured once up
     # front: a CDC merge is data movement, so this — not core count — is
@@ -199,6 +249,13 @@ def main() -> None:
             hw_ratios.append(ratio)
             print(f"hw calibration: {LEVELS[1]}p/{LEVELS[0]}p capacity = {ratio:.2f}x", file=sys.stderr)
         if True:
+            busy, load1, clean = wait_quiet()
+            print(
+                f"  [quiet-gate] launching local[{cpus}] run {run}: external "
+                f"busy-cores {busy:.2f} (gate {QUIET_GATE_CORES}), loadavg1 "
+                f"{load1:.2f}, clean={clean}",
+                file=sys.stderr,
+            )
             work = os.path.join(base, f"run-{cpus}-{run}")
             cmd = [sys.executable, __file__, "--worker", str(cpus), feed_dir, work]
             if PIN_CPUS:
@@ -217,6 +274,15 @@ def main() -> None:
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             eps = rec.get("best_batch_eps") or rec["rows_in"] / rec["sec"]
             results[cpus].append(eps)
+            run_detail[cpus].append(
+                {
+                    "eps": round(eps, 1),
+                    "sec": round(rec["sec"], 1),
+                    "busy_cores_at_launch": round(busy, 2),
+                    "loadavg1_at_launch": round(load1, 2),
+                    "clean": clean,
+                }
+            )
             print(
                 f"local[{cpus}] run {run}: {rec['sec']:.1f}s, {eps:,.0f} events/s "
                 f"({rec['batches']} batches) timings={rec.get('timings')}",
@@ -245,6 +311,9 @@ def main() -> None:
         "events_per_sec_median": {str(c): round(med[c], 1) for c in LEVELS},
         "events_per_sec_best": {str(c): round(best[c], 1) for c in LEVELS},
         "all_runs": {str(c): [round(x, 1) for x in v] for c, v in results.items()},
+        "run_detail": {str(c): v for c, v in run_detail.items()},
+        "quiet_gate_busy_cores": QUIET_GATE_CORES,
+        "all_runs_clean": all(d["clean"] for v in run_detail.values() for d in v),
         "cpu_pinned": PIN_CPUS,
         "hw_capacity_ratio": round(hw_ratio, 2),
         "membw_ratio": round(membw_ratio, 2),
@@ -290,15 +359,30 @@ def _write_report(s: dict) -> None:
         "deletes), run at two parallelism levels in separate JVMs;",
         f"{RUNS_PER_LEVEL} runs per level, median reported.",
         "",
-        "| parallelism | median events/sec | best events/sec | runs |",
+        "| parallelism | median events/sec | best events/sec | runs (ext-busy-cores @launch) |",
         "|---|---|---|---|",
     ]
     for c in LEVELS:
-        runs = ", ".join(f"{x:,.0f}" for x in s["all_runs"][str(c)])
+        detail = s.get("run_detail", {}).get(str(c))
+        if detail:
+            runs = ", ".join(
+                f"{d['eps']:,.0f} ({d['busy_cores_at_launch']:.1f})" for d in detail
+            )
+        else:
+            runs = ", ".join(f"{x:,.0f}" for x in s["all_runs"][str(c)])
         lines.append(
             f"| local[{c}] | {s['events_per_sec_median'][str(c)]:,} | "
             f"{s['events_per_sec_best'][str(c)]:,} | {runs} |"
         )
+    if "all_runs_clean" in s:
+        lines += [
+            "",
+            f"Quiet-window gate: every run launched only after external CPU "
+            f"pressure (measured as busy cores from /proc/stat deltas between "
+            f"runs, with no local Spark process alive) fell to "
+            f"<= {s['quiet_gate_busy_cores']} cores; per-run values above. "
+            f"**All runs clean: {'yes' if s['all_runs_clean'] else 'NO — set includes runs launched above the gate'}**.",
+        ]
     lines += [
         "",
         f"Hardware calibrations at measurement time (nominal "
@@ -328,13 +412,13 @@ def _write_report(s: dict) -> None:
         "vs-membw rows are diagnostics explaining contention, not "
         "substitutes for the raw criterion.",
         "",
-        "Runs are interleaved (8,32,8,32,...) in separate JVMs over the same",
-        "feed, with a CPU-capacity calibration before each pair. The sandbox",
-        "host carries unrelated external load (loadavg >10 with no local",
-        "processes), so the nominal 4x core ratio is frequently not",
-        "physically available; the vs-hardware number is the meaningful one",
-        "under contention, and a quiet-host run (see git history) measured",
-        "raw efficiency 0.918.",
+        f"Runs are interleaved ({LEVELS[0]},{LEVELS[1]},{LEVELS[0]},"
+        f"{LEVELS[1]},...) in separate JVMs over the same feed, with a",
+        "CPU-capacity calibration before each pair and the quiet-window",
+        "gate before each run. The sandbox host carries unrelated external",
+        "load in bursts; the gate keeps measurements out of those bursts",
+        "and records the load each run actually launched under, so this",
+        "set is reproducible rather than window-lucky.",
         "",
     ]
     with open(os.path.join("BENCH", "latest.md"), "w") as f:
