@@ -287,31 +287,43 @@ def connected_components(
             F.least(F.col("u"), F.col("v")).alias("b"),
         )
         mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
-        S = (
+        S_raw = (
             oriented.join(mins2, "a")
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select(F.col("a").alias("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # truncate lineage every other round; in between, an in-memory
-        # persist (tracked) is enough — the convergence check below
-        # materializes S either way
-        if rounds % 2 == 0:
-            S = checkpoint_tracked("connected_components", S)
-        else:
-            S = persist_tracked("connected_components", S)
-        # set equality as ONE job: +1/-1 multiset counts per edge, any
-        # nonzero sum = a difference (both sides are distinct already)
-        converged = (
-            S.select("u", "v", F.lit(1).alias("__d"))
-            .unionByName(E.select("u", "v", F.lit(-1).alias("__d")))
+        # ONE shuffle closes the round: tag rows by origin and group by
+        # edge — max(__s)/max(__e) give set membership, so the same
+        # aggregation IS the small-star distinct AND the S-vs-E set
+        # equality check (converged iff no edge is in exactly one set).
+        # The former separate distinct + (+1/-1)-multiset job cost one
+        # extra shuffle and one extra job per round — pure fixed
+        # overhead at small edge counts, and at 10^9 edges one full
+        # extra pass over the edge set.
+        grouped = (
+            S_raw.select("u", "v", F.lit(1).alias("__s"), F.lit(0).alias("__e"))
+            .unionByName(E.select("u", "v", F.lit(0).alias("__s"), F.lit(1).alias("__e")))
             .groupBy("u", "v")
-            .agg(F.sum("__d").alias("__s"))
-            .where(F.col("__s") != 0)
-            .isEmpty()
+            .agg(F.max("__s").alias("__in_s"), F.max("__e").alias("__in_e"))
         )
-        E = S
+        # ONE action closes the round: counting the membership
+        # mismatches populates the persisted round relation as a side
+        # effect (the cache fills on first scan), so no separate
+        # materialization job is needed.  Lineage is truncated with a
+        # checkpoint every other round (that round pays the extra
+        # checkpoint job); in between the in-memory persist carries it.
+        if rounds % 2 == 0:
+            grouped = checkpoint_tracked("connected_components", grouped)
+        else:
+            grouped = persist_tracked("connected_components", grouped)
+        # full count, not isEmpty/limit: the unrestricted scan is what
+        # guarantees every partition of the round relation lands in the
+        # cache in this same job
+        converged = (
+            grouped.where(F.col("__in_s") != F.col("__in_e")).count() == 0
+        )
+        E = grouped.where(F.col("__in_s") == 1).select("u", "v")
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
