@@ -314,6 +314,8 @@ def main() -> None:
         "run_detail": {str(c): v for c, v in run_detail.items()},
         "quiet_gate_busy_cores": QUIET_GATE_CORES,
         "all_runs_clean": all(d["clean"] for v in run_detail.values() for d in v),
+        "parquet_codec": os.environ.get("SPARK_GRAFT_CODEC", "snappy"),
+        "shuffle_codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         "cpu_pinned": PIN_CPUS,
         "hw_capacity_ratio": round(hw_ratio, 2),
         "membw_ratio": round(membw_ratio, 2),
@@ -357,7 +359,10 @@ def _write_report(s: dict) -> None:
         "LWW dedup -> bucket-pruned MERGE, 128 buckets, salt 16), same",
         f"pre-generated feed ({s['events']:,} events, Zipf-skewed keys, 5%",
         "deletes), run at two parallelism levels in separate JVMs;",
-        f"{RUNS_PER_LEVEL} runs per level, median reported.",
+        f"{RUNS_PER_LEVEL} runs per level, median reported.  Codecs",
+        f"(identical at both levels): parquet "
+        f"{s.get('parquet_codec', 'snappy')}, shuffle "
+        f"{s.get('shuffle_codec', 'lz4')}.",
         "",
         "| parallelism | median events/sec | best events/sec | runs (ext-busy-cores @launch) |",
         "|---|---|---|---|",

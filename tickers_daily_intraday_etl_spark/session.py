@@ -40,7 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # parquet + shuffle codecs are tunable: zstd trades CPU per byte
+        # for fewer bytes through the memory subsystem — the relevant
+        # trade on bandwidth-bound hosts (see BENCH/BASELINE.md)
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_CODEC", "snappy"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # INT96 (Spark's legacy default) carries NO parquet column
         # statistics; micros-typed timestamps do — required for the
         # commit log's zone-map (min,max) file skipping
