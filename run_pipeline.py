@@ -5,7 +5,8 @@
       run_pipeline.py --feed <dir> --table <dir> --checkpoint <dir> \
       [--num-buckets 128] [--salt 16] [--feed-format parquet] \
       [--compact-every N] [--compact-delta-threshold K] \
-      [--merge-mode cow|mor] [--evolved-schema]
+      [--merge-mode cow|mor] [--evolved-schema] \
+      [--vacuum-retain-versions V [--expire-log-checkpoints C]]
 
 Honors whatever master/executor topology spark-submit configures (the
 north rule's N / 4N executor deployments); local runs fall back to
@@ -40,6 +41,14 @@ def main() -> None:
                          "delta files (pair with --compact-every to fold them)")
     ap.add_argument("--evolved-schema", action="store_true",
                     help="read the feed with the schema-evolution envelope (source_version)")
+    ap.add_argument("--vacuum-retain-versions", type=int, default=None,
+                    help="after the drain, delete data files referenced by no "
+                         "snapshot in the last V versions (time travel below "
+                         "that stops working)")
+    ap.add_argument("--expire-log-checkpoints", type=int, default=None,
+                    help="with --vacuum-retain-versions: also prune commit-log "
+                         "entries below the newest C checkpoints (the log-side "
+                         "retention; epoch-fence ids survive in the checkpoints)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,6 +86,15 @@ def main() -> None:
     dt = time.time() - t0
     applied = [m for m in lineage if m.get("rows_in")]
     rows = sum(m["rows_in"] for m in applied)
+    maintenance = None
+    if args.vacuum_retain_versions is not None:
+        from tickers_daily_intraday_etl_spark.lake.maintenance import vacuum
+
+        maintenance = vacuum(
+            pipe.table,
+            retain_last_n_versions=args.vacuum_retain_versions,
+            expire_log_checkpoints=args.expire_log_checkpoints,
+        )
     print(
         json.dumps(
             {
@@ -85,6 +103,7 @@ def main() -> None:
                 "sec": round(dt, 2),
                 "events_per_sec": round(rows / dt, 1) if dt > 0 else None,
                 "table_version": pipe.table.log.latest_version(),
+                "maintenance": maintenance,
             }
         )
     )

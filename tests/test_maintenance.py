@@ -71,3 +71,36 @@ def test_vacuum_deletes_only_unreferenced(spark, tmpdir_path):
     assert res["orphan_files"] == dry["orphan_files"]
     assert _state(t) == before  # latest snapshot fully readable
     assert vacuum(t, retain_last_n_versions=1, dry_run=True, min_age_seconds=0)["orphan_files"] == 0
+
+
+def test_vacuum_with_log_expiry(spark, tmpdir_path):
+    """vacuum(expire_log_checkpoints=...) runs both retentions: data
+    files AND commit-log entries below the retained checkpoints, with
+    the table still fully readable and the epoch fence intact."""
+    from tickers_daily_intraday_etl_spark.lake.log import CHECKPOINT_INTERVAL
+
+    t = _setup(spark, tmpdir_path, n_batches=1)
+    # push the log past two checkpoints with no-op-sized merges
+    next_batch = 100
+    while (t.log.latest_version() or 0) < 2 * CHECKPOINT_INTERVAL + 2:
+        merge_into(
+            t,
+            spark.createDataFrame(
+                [_ev("U", "d0", 1000 + next_batch, [next_batch])], CDC_SCHEMA
+            ),
+            batch_id=next_batch,
+        )
+        next_batch += 1
+    before = _state(t)
+    fence_before = t.committed_batch_ids()
+    res = vacuum(
+        t, retain_last_n_versions=1, min_age_seconds=0, expire_log_checkpoints=1
+    )
+    assert res["log"]["expired_entries"] > 0
+    assert _state(t) == before
+    assert t.committed_batch_ids() == fence_before  # fence survives expiry
+    # replayed batch id still fenced after log expiry
+    m = merge_into(
+        t, spark.createDataFrame([_ev("U", "d0", 1, [9])], CDC_SCHEMA), batch_id=100
+    )
+    assert m["skipped"] is True
