@@ -292,6 +292,19 @@ def main() -> None:
 
     med = {c: statistics.median(v) for c, v in results.items()}
     best = {c: max(v) for c, v in results.items()}
+    # pairwise diagnostic (NOT the primary): the interleaved schedule
+    # runs level N and 4N back-to-back, so pair i shares its host
+    # window — the ratio within a pair controls for the slow drift /
+    # bimodality the gate cannot see.  Reported alongside, never
+    # substituted for the pre-declared metric.
+    n_pairs = min(len(results[LEVELS[0]]), len(results[LEVELS[1]]))
+    pairwise = [
+        round(
+            (results[LEVELS[1]][i] / results[LEVELS[0]][i]) / (LEVELS[1] / LEVELS[0]),
+            3,
+        )
+        for i in range(n_pairs)
+    ]
     efficiency_med = (med[LEVELS[1]] / med[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
     # the sandbox shares a host with unrelated load (loadavg >> our usage
     # with zero local processes); best-of-N is the noise-robust estimate
@@ -321,6 +334,10 @@ def main() -> None:
         "membw_ratio": round(membw_ratio, 2),
         "scaling_efficiency_median": round(efficiency_med, 3),
         "scaling_efficiency_best": round(efficiency_best, 3),
+        "scaling_efficiency_pairwise": pairwise,
+        "scaling_efficiency_pairwise_median": round(statistics.median(pairwise), 3)
+        if pairwise
+        else None,
         "scaling_efficiency_vs_hw": round(efficiency_hw, 3),
         "scaling_efficiency_vs_membw": round(efficiency_membw, 3),
         "criterion": ">= 0.8",

@@ -350,3 +350,25 @@ def test_dense_merge_through_streaming_pipeline(spark, tmpdir_path):
         M._merge_once = orig
     assert [m.get("rows_in") for m in lineage] == [20]
     assert {r.doc_id for r in pipe.table.read().collect()} == {f"d{i}" for i in range(10)}
+
+
+def test_estimated_rows_boundaries(spark, tmpdir_path):
+    """The auto-dense estimator: exact rowCount when Catalyst knows it,
+    size-derived otherwise, and Spark's unknown-size sentinel
+    (defaultSizeInBytes) must read as UNKNOWN, not huge."""
+    import os as _os
+
+    from tickers_daily_intraday_etl_spark.cdc.merge import _estimated_rows
+    from tickers_daily_intraday_etl_spark.sources.changefeed import read_feed, write_feed
+
+    # RDD-backed frame: sentinel size -> None (NOT astronomically dense)
+    df_local = spark.createDataFrame([_ev("I", "a", 1, tokens=[1])], CDC_SCHEMA)
+    est_rdd = _estimated_rows(df_local.where("lsn > 0"))
+    assert est_rdd is None or est_rdd < 1000
+
+    # file-backed frame: size-derived, within an order of magnitude
+    feed = _os.path.join(tmpdir_path, "feed")
+    rows = [_ev("I", f"d{i}", i + 1, tokens=list(range(32))) for i in range(5000)]
+    write_feed(spark.createDataFrame(rows, CDC_SCHEMA), feed, fmt="parquet")
+    est_file = _estimated_rows(read_feed(spark, feed, schema=CDC_SCHEMA))
+    assert est_file is not None and 100 <= est_file <= 500_000

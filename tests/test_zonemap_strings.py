@@ -147,3 +147,34 @@ def test_string_bounds_pruning_correct_across_truncation(spark, tmpdir_path):
         for r in t.read_raw().where(f"doc_id >= '{lo}' and doc_id <= '{hi}'").collect()
     )
     assert pruned == full and full  # non-empty and identical
+
+
+def test_read_incremental_on_string_column(spark, tmpdir_path):
+    """ISO-timestamp-LOOKING strings on a STRING column must be treated
+    as literal string bounds (only time-typed columns coerce ISO strings
+    to micros) — and the pruned result must match an unpruned filter."""
+    t = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, num_buckets=1
+    )
+    batch = [
+        _ev("I", f"d{i}", i + 1, [i]) for i in range(6)
+    ]
+    merge_into(t, spark.createDataFrame(batch, CDC_SCHEMA), batch_id=0)
+
+    got = sorted(r.doc_id for r in t.read_incremental("doc_id", lo="d2", hi="d4").collect())
+    assert got == ["d2", "d3", "d4"]
+
+    # a string that PARSES as a timestamp must still bound lexically
+    t2 = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "t2"), TARGET_SCHEMA, num_buckets=1
+    )
+    rows = [
+        _ev("I", f"k{i}", i + 1, [i]) for i in range(3)
+    ]
+    merge_into(t2, spark.createDataFrame(rows, CDC_SCHEMA), batch_id=0)
+    # source column is constant "s": an ISO-shaped bound compares as a
+    # STRING (digits sort below letters), not as a parsed timestamp —
+    # hi="2024-01-01" < "s" lexically, so nothing qualifies; lo keeps all
+    assert t2.read_incremental("source", hi="2024-01-01").count() == 0
+    assert t2.read_incremental("source", lo="2024-01-01").count() == 3
+    assert t2.read_incremental("source", lo="s", hi="s").count() == 3
