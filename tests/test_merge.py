@@ -372,3 +372,31 @@ def test_estimated_rows_boundaries(spark, tmpdir_path):
     write_feed(spark.createDataFrame(rows, CDC_SCHEMA), feed, fmt="parquet")
     est_file = _estimated_rows(read_feed(spark, feed, schema=CDC_SCHEMA))
     assert est_file is not None and 100 <= est_file <= 500_000
+
+
+def test_dense_merge_with_schema_evolution(spark, tmpdir_path):
+    """Dense path + schema-merge-on-write together: the Observation
+    fusion must not bypass the evolution handling (new column appears,
+    old rows read back NULL-filled)."""
+    import os as _os
+
+    t = LakeTable.create_if_not_exists(
+        spark, _os.path.join(tmpdir_path, "t"), TARGET_SCHEMA, num_buckets=4
+    )
+    merge_into(
+        t,
+        spark.createDataFrame([_ev("I", f"d{i}", i + 1, tokens=[i]) for i in range(8)], CDC_SCHEMA),
+        batch_id=0,
+        dense=True,
+    )
+    evolved = [
+        _ev("U", f"d{i}", 100 + i, ts_s=1, tokens=[i, i], source_version=2)
+        for i in range(0, 8, 2)
+    ]
+    m = merge_into(
+        t, spark.createDataFrame(evolved, CDC_SCHEMA_V2), batch_id=1, dense=True
+    )
+    assert m["op_counts"] == {"U": 4}
+    out = {r.doc_id: r for r in t.read().collect()}
+    assert out["d0"].source_version == 2 and out["d0"].tokens == [0, 0]
+    assert out["d1"].source_version is None and out["d1"].tokens == [1]
