@@ -178,3 +178,30 @@ def test_read_incremental_on_string_column(spark, tmpdir_path):
     assert t2.read_incremental("source", hi="2024-01-01").count() == 0
     assert t2.read_incremental("source", lo="2024-01-01").count() == 3
     assert t2.read_incremental("source", lo="s", hi="s").count() == 3
+
+
+def test_python_xxh64_matches_spark(spark):
+    """lookup()'s driver-pure bucket computation rests on this: the
+    pure-Python XXH64 must be BIT-identical to Spark's xxhash64 over
+    strings (ASCII, unicode, every tail-length class of the algorithm),
+    and the derived bucket must match bucket_expr."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from tickers_daily_intraday_etl_spark.lake.xxh64 import bucket_of_string, xxh64
+
+    rng = random.Random(7)
+    keys = [""]
+    for length in (1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 200):
+        keys.append("".join(rng.choice(_string.printable) for _ in range(length)))
+    keys += ["doc-0001", "日本語テキスト", "émoji🙂mix", "a" * 1000]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k",
+        F.xxhash64("k").alias("h"),
+        F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        assert xxh64(r.k.encode("utf-8")) == r.h, r.k
+        assert bucket_of_string(r.k, 16) == r.b, r.k

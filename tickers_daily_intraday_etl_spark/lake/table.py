@@ -419,9 +419,16 @@ class LakeTable:
         from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
 
         # bucket of the literal, computed with the SAME hash the writer
-        # used (1-row driver-local job — keys hash across buckets, so
-        # without this every bucket's base file survives pruning)
-        bucket = self.spark.range(1).select(self.bucket_expr(F.lit(value))).first()[0]
+        # used — keys hash across buckets, so without this every
+        # bucket's base file survives pruning.  String keys hash
+        # driver-pure (lake.xxh64, bit-equality with Spark's xxhash64
+        # pinned by test); other key types fall back to a 1-row job.
+        if isinstance(value, str):
+            from tickers_daily_intraday_etl_spark.lake.xxh64 import bucket_of_string
+
+            bucket = bucket_of_string(value, self.num_buckets)
+        else:
+            bucket = self.spark.range(1).select(self.bucket_expr(F.lit(value))).first()[0]
         raw = self.read_raw(
             version, buckets=[bucket], bounds={self.key_col: (value, value)}
         ).where(F.col(self.key_col) == F.lit(value))
