@@ -178,3 +178,52 @@ def test_expire_keeps_at_least_one_checkpoint(tmp_path):
         log.expire_log(retain_checkpoints=0)
     log.expire_log(retain_checkpoints=1)
     assert CommitLog(path).snapshot().version == 24
+
+
+def test_expire_log_repairs_lagging_pointer(tmp_path):
+    """A crash between a checkpoint's publish and the pointer overwrite
+    (or a lost pointer race) leaves ptr < newest checkpoint.  Before
+    expiry that only costs probes; after expiry a pointer below the
+    retained floor would strand a FRESH reader in the deleted region —
+    latest_version() resolving an expired version and snapshot()
+    raising until the next checkpoint.  expire_log must revalidate the
+    pointer, and latest_version must recover even if it encounters a
+    stale pointer some other way."""
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 101)  # checkpoints at 20,40,60,80,100
+
+    # simulate the crash/race: pointer lags at 20
+    log.store.put_overwrite("_last_checkpoint", json.dumps({"version": 20}))
+
+    log.expire_log(retain_checkpoints=2)  # floor 80; 20's entry+ckpt gone
+
+    # pointer was repaired to the newest retained checkpoint
+    assert json.loads(log.store.read("_last_checkpoint"))["version"] == 100
+    fresh = CommitLog(path)
+    assert fresh.latest_version() == 100
+    assert fresh.snapshot().version == 100
+
+
+def test_latest_version_recovers_from_stale_pointer_in_expired_region(tmp_path):
+    """Belt-and-braces for the same race if the pointer is stale-written
+    AFTER expiry (e.g. a delayed overwrite from a dying writer landing
+    last): the forward probe starts in the deleted region and must fall
+    back to a LIST instead of returning an unreconstructible version."""
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 101)
+    log.expire_log(retain_checkpoints=2)  # floor 80
+    # delayed stale overwrite lands after expiry
+    log.store.put_overwrite("_last_checkpoint", json.dumps({"version": 20}))
+
+    fresh = CommitLog(path)
+    assert fresh.latest_version() == 100
+    assert fresh.snapshot().version == 100
+    # healthy-pointer readers never pay the LIST fallback
+    store = CountingStore(os.path.join(path, "_log"))
+    store.put_overwrite("_last_checkpoint", json.dumps({"version": 100}))
+    healthy = CommitLog(path, store=store)
+    store.counts["list"] = 0
+    assert healthy.snapshot().version == 100
+    assert store.counts["list"] == 0

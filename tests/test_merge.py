@@ -336,8 +336,8 @@ def test_dense_merge_through_streaming_pipeline(spark, tmpdir_path):
 
     orig = M._merge_once
 
-    def force_dense(table, changes, batch_id, salt, extra, mode, dense=None):
-        return orig(table, changes, batch_id, salt, extra, mode, dense=True)
+    def force_dense(table, changes, batch_id, salt, extra, mode, dense=None, *a, **kw):
+        return orig(table, changes, batch_id, salt, extra, mode, True, *a, **kw)
 
     M._merge_once = force_dense
     try:

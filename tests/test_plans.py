@@ -71,6 +71,37 @@ def test_embedding_near_pairs_has_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in ex, name
 
 
+def test_clustered_lww_is_single_exchange(spark):
+    """The merge-path LWW (cluster_col=_bucket) must plan exactly ONE
+    hash exchange: the explicit bucket repartition both satisfies the
+    groupBy(bucket, key) clustering (Catalyst elides the aggregate's own
+    exchange) and pre-positions the output for the bucket-partitioned
+    write.  A second exchange here doubles the payload bytes every merge
+    moves through the memory subsystem — the measured throughput ceiling
+    (BENCH/roofline.md)."""
+    from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("doc-"), F.pmod(F.xxhash64("id"), F.lit(500)).cast("string")).alias("doc_id"),
+        F.col("id").alias("_lsn"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("_commit_ts"),
+        F.sequence(F.lit(1), F.lit(8)).alias("tokens"),
+    ).withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
+    clustered = lww_winner(df, "doc_id", "_lsn", "_commit_ts", cluster_col="_bucket")
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the one exchange is the bucket repartition, not a key shuffle
+    assert "REPARTITION_BY_NUM" in plan
+    # unclustered reference shape still has its own (key) exchange
+    plain = lww_winner(df, "doc_id", "_lsn", "_commit_ts")
+    pplan = plain._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("Exchange hashpartitioning") == 1
+    # results identical either way (same winners, order-insensitive)
+    a = sorted(map(tuple, clustered.drop("tokens").collect()))
+    b = sorted(map(tuple, plain.drop("tokens").collect()))
+    assert a == b
+
+
 def test_scan_pushes_filters_tolerates_mixed_plans(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").where(F.col("l_quantity") > 25.0)
     orders = spark.read.parquet(f"{SF}/orders.parquet")  # full scan side

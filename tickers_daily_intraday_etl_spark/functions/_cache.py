@@ -48,7 +48,13 @@ def checkpoint_tracked(key: str, df: DataFrame) -> DataFrame:
 def release_previous(key: str) -> None:
     """Unpersist everything a prior invocation registered under ``key``.
     Called on operator ENTRY: the previous call's results have either
-    been materialized by now or the caller no longer cares."""
+    been materialized by now or the caller no longer cares.
+
+    NB: for plain persists release only means RECOMPUTE on re-access,
+    but a released localCheckpoint RDD is gone — lineage was truncated,
+    so a previous result DataFrame that depended on it FAILS on access
+    ("checkpoint block not found").  Operators that checkpoint must say
+    so in their docstring (see ``connected_components``)."""
     for df in _live.pop(key, []):
         try:
             df.unpersist(blocking=False)

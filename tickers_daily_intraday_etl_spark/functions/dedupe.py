@@ -244,7 +244,14 @@ def connected_components(
     2-round truncation cadence bounds plan depth at the same asymptote
     for half the writes.  (On a real cluster prefer ``checkpoint()`` to
     reliable storage for fault tolerance; the truncation role is
-    identical.)"""
+    identical.)
+
+    Re-entry invalidates the PREVIOUS return value: entry releases the
+    prior invocation's tracked persists INCLUDING its localCheckpoint
+    RDDs, and a checkpointed relation has truncated lineage — a caller
+    still holding the previous result DataFrame gets "checkpoint block
+    not found" on access, not a slow recompute.  Materialize (collect/
+    write) each result before calling the operator again."""
     from tickers_daily_intraday_etl_spark.functions._cache import (
         checkpoint_tracked,
         persist_tracked,

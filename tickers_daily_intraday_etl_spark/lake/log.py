@@ -288,6 +288,24 @@ class CommitLog:
         v = floor
         while self.store.exists(self._entry_name(v + 1)):
             v += 1
+        if v == floor and not self.store.exists(self._entry_name(v)):
+            # The floor hint landed in an EXPIRED region: a stale
+            # ``_last_checkpoint`` pointer (crash between a checkpoint's
+            # put_if_absent and the pointer overwrite, or a lost
+            # pointer race) can sit below ``expire_log``'s retained
+            # floor, where both the entry and its checkpoint are gone —
+            # the forward probe then sees nothing and would silently
+            # return a version ``snapshot()`` cannot reconstruct.
+            # Recover with one LIST (rare: never taken while the
+            # pointer is healthy, so the hot path stays LIST-free).
+            entries = [
+                int(n[1:-5])
+                for n in self.store.list_names()
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            if not entries:
+                return None
+            v = max(entries)
         self._latest_seen = v
         return v
 
@@ -446,6 +464,20 @@ class CommitLog:
         # expired folds must not be served from memory either
         for v in [v for v in self._snap_cache if v < floor]:
             del self._snap_cache[v]
+        # Revalidate the pointer: it is a last-writer-wins HINT and can
+        # lag the newest checkpoint (crash between checkpoint publish
+        # and pointer overwrite, or a lost overwrite race).  Before
+        # expiry that only costs extra probes; AFTER expiry a pointer
+        # below the retained floor would strand fresh readers in the
+        # deleted region (entry and checkpoint both gone).  Advancing
+        # it to the newest retained checkpoint here restores the
+        # module's "a lost pointer race never costs correctness"
+        # contract under retention.
+        ptr = self._pointer_version()
+        if ptr is None or ptr < retained[-1]:
+            self.store.put_overwrite(
+                _LAST_CKPT_NAME, json.dumps({"version": retained[-1]})
+            )
         return {
             "expired_entries": dropped_entries,
             "expired_checkpoints": len(ckpts) - len(retained),

@@ -15,10 +15,12 @@ Scale design (for a 1000-executor cluster over ~100 TB):
   the touched fraction of the table, not table size.
 * The MERGE itself is **union + last-writer-wins aggregation**, not a
   join: target rows of affected buckets and deduped change rows are
-  unioned and the winner per key is picked with one hash aggregation
-  (``max_by`` over the ordering struct ``(_lsn, _commit_ts, ...)``) —
-  a single shuffle with map-side partial aggregation, instead of the
-  two shuffles a sort-merge full-outer join would cost.
+  unioned and the winner per key is picked with one aggregation
+  (``max_by`` over the ordering struct ``(_lsn, _commit_ts, ...)``)
+  CLUSTERED ON THE BUCKET COLUMN — the single bucket repartition
+  satisfies both the aggregation's clustering and the partitioned
+  write's layout, so the row payload crosses exactly one shuffle per
+  merge (a sort-merge full-outer join + write would cost three).
 * Deletes keep **tombstones** (``_deleted = true``): a stale update
   (lower LSN) arriving after a delete must lose to the tombstone, or
   replay equality breaks.  Reads filter tombstones; ``vacuum``/compaction
@@ -428,7 +430,14 @@ class LakeTable:
 
             bucket = bucket_of_string(value, self.num_buckets)
         else:
-            bucket = self.spark.range(1).select(self.bucket_expr(F.lit(value))).first()[0]
+            # cast the literal to the key column's STORED type before
+            # hashing: xxhash64 hashes an IntegerType literal over 4
+            # bytes but a LongType column over 8, so an uncast Python
+            # int probes the wrong bucket and silently returns empty
+            key_type = self.stored_schema(version)[self.key_col].dataType
+            bucket = self.spark.range(1).select(
+                self.bucket_expr(F.lit(value).cast(key_type))
+            ).first()[0]
         raw = self.read_raw(
             version, buckets=[bucket], bounds={self.key_col: (value, value)}
         ).where(F.col(self.key_col) == F.lit(value))
@@ -443,18 +452,30 @@ class LakeTable:
 
     # ------------------------------------------------------------ write side
     def _write_data(
-        self, df: DataFrame, n_buckets_touched: int, kind: str = "base"
+        self, df: DataFrame, n_buckets_touched: int, kind: str = "base",
+        pre_partitioned: bool = False,
     ) -> list[dict[str, Any]]:
         """Write df (must carry BUCKET_COL) into a fresh commit dir,
         hive-partitioned by bucket; return add-records.  ``kind='delta'``
         marks merge-on-read files whose rows are candidate versions to be
-        LWW-resolved at read time (folded away by compaction)."""
+        LWW-resolved at read time (folded away by compaction).
+
+        ``pre_partitioned``: the caller guarantees df is already
+        hash-partitioned by BUCKET_COL (the bucket-clustered LWW plan) —
+        the write-side repartition is skipped, saving a full-payload
+        shuffle per merge.  ``partitionBy`` still routes rows to
+        per-bucket files, and because each bucket lives wholly inside
+        one task, the file count stays one per (bucket, schema version)
+        exactly as in the repartitioned path."""
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out_path = os.path.join(self.path, commit_dir)
-        shuffle_n = max(1, min(n_buckets_touched, int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        if pre_partitioned:
+            out = df
+        else:
+            shuffle_n = max(1, min(n_buckets_touched, int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+            out = df.repartition(shuffle_n, BUCKET_COL)
         (
-            df.repartition(shuffle_n, BUCKET_COL)
-            .sortWithinPartitions(BUCKET_COL, self.key_col)
+            out.sortWithinPartitions(BUCKET_COL, self.key_col)
             .write.partitionBy(BUCKET_COL)
             .parquet(out_path)
         )
