@@ -126,7 +126,12 @@ def worker(cpus: int, feed_dir: str, work_dir: str) -> None:
         os.path.join(work_dir, "table"),
         os.path.join(work_dir, "ckpt"),
         num_buckets=128,
-        salt_partitions=16,
+        # salt OFF: the round-5 bucket-clustered merge moves the payload
+        # through ONE shuffle; a salted pre-reduce adds a second payload
+        # crossing, and an A/B on the extreme zipf-1.3 hot-key feed
+        # (top key ~25% of events) still measured salt0 faster
+        # (214k vs 197k ev/s at local[8]) — salting is for feeds far
+        # hotter than any this bench generates
         max_files_per_trigger=64,  # one segment (64 files) per micro-batch
     )
     t0 = time.time()

@@ -5,7 +5,7 @@
       run_pipeline.py --feed <dir> --table <dir> --checkpoint <dir> \
       [--num-buckets 128] [--salt 16] [--feed-format parquet] \
       [--compact-every N] [--compact-delta-threshold K] \
-      [--merge-mode cow|mor] [--evolved-schema] \
+      [--merge-mode cow|mor] [--evolved-schema] [--maintain-every N] \
       [--vacuum-retain-versions V [--expire-log-checkpoints C]]
 
 Honors whatever master/executor topology spark-submit configures (the
@@ -28,7 +28,13 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--num-buckets", type=int, default=128)
-    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--salt", type=int, default=0,
+                    help="salted LWW pre-reduce partitions; leave 0 for "
+                         "typical mostly-unique CDC batches — the bucket-"
+                         "clustered merge already moves the payload through "
+                         "ONE shuffle, and salting adds a second crossing "
+                         "that only pays off on heavily-duplicated hot-key "
+                         "feeds (see cdc/dedup.py lww_winner)")
     ap.add_argument("--feed-format", default="parquet")
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument("--compact-delta-threshold", type=int, default=None,
@@ -41,6 +47,12 @@ def main() -> None:
                          "delta files (pair with --compact-every to fold them)")
     ap.add_argument("--evolved-schema", action="store_true",
                     help="read the feed with the schema-evolution envelope (source_version)")
+    ap.add_argument("--maintain-every", type=int, default=None,
+                    help="self-maintenance cadence: every N applied batches "
+                         "run vacuum + commit-log expiry DURING the stream "
+                         "so a long-running job keeps its _log dir and "
+                         "orphan files bounded (complements the post-drain "
+                         "--vacuum-retain-versions)")
     ap.add_argument("--vacuum-retain-versions", type=int, default=None,
                     help="after the drain, delete data files referenced by no "
                          "snapshot in the last V versions (time travel below "
@@ -80,6 +92,9 @@ def main() -> None:
         compact_delta_files_threshold=args.compact_delta_threshold,
         max_files_per_trigger=args.max_files_per_trigger,
         merge_mode=args.merge_mode,
+        maintain_every=args.maintain_every,
+        vacuum_retain_versions=args.vacuum_retain_versions or 8,
+        expire_log_checkpoints=args.expire_log_checkpoints or 2,
     )
     t0 = time.time()
     lineage = pipe.run_available_now()

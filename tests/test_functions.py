@@ -424,3 +424,29 @@ def test_text_functions_null_safe(spark):
     assert nulls.lang is None and nulls.q is None
     (duck_n,) = duckdb.sql("select len(list_filter(regexp_split_to_array(NULL,'\\s+'), x -> x<>''))").fetchone()
     assert duck_n is None  # the oracle agrees
+
+
+def test_ivf_sample_mod_bounds_driver_sample():
+    """The k-means training sample must be SIZE-BOUNDED: whatever the
+    corpus size, the modulus keeps |{id : id % mod == 0}| <= cap (+1 for
+    id 0), while small test corpora keep the base modulus so existing
+    oracle rows are unchanged."""
+    from tickers_daily_intraday_etl_spark.functions.similarity import (
+        IVF_SAMPLE_CAP,
+        ivf_sample_mod,
+    )
+
+    # small corpora (both driver test SFs): base modulus untouched
+    assert ivf_sample_mod(175) == 7
+    assert ivf_sample_mod(2000) == 7
+    # at scale the sample is capped, not proportional
+    for n in (100_000, 1_000_000, 50_000_000, 10**10):
+        mod = ivf_sample_mod(n)
+        sample_size = n // mod + 1
+        assert sample_size <= IVF_SAMPLE_CAP + 1, (n, mod, sample_size)
+        # and not vacuously tiny: the cap is actually approached
+        assert sample_size >= IVF_SAMPLE_CAP // 2, (n, mod, sample_size)
+    # SQL-oracle parity: GREATEST(base, CEIL(n/cap)) in float == int ceil
+    import math
+    for n in (175, 2000, 14336, 14337, 999_999, 10**9):
+        assert ivf_sample_mod(n) == max(7, math.ceil(n / IVF_SAMPLE_CAP))

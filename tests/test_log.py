@@ -18,10 +18,27 @@ from tickers_daily_intraday_etl_spark.lake.log import (
     CHECKPOINT_INTERVAL,
     CommitConflict,
     CommitLog,
+    InMemoryLogStore,
     LocalLogStore,
     LogEntry,
     VersionNotRetained,
 )
+
+
+@pytest.fixture(params=["local", "memory"])
+def make_log(request, tmp_path):
+    """Factory for CommitLog instances over ONE shared store: 'local' is
+    the filesystem store (os.link create-if-absent), 'memory' is the
+    object-store-semantics double (conditional PUT, last-writer-wins
+    overwrite, injected per-op latency).  The commit protocol must
+    behave identically over both — that equivalence is what makes the
+    LogStore interface's conditional-PUT mapping trustworthy.  Each
+    make_log() call is a fresh reader/writer with cold caches."""
+    path = str(tmp_path / "t")
+    if request.param == "local":
+        return lambda: CommitLog(path)
+    store = InMemoryLogStore(latency=0.0002)
+    return lambda: CommitLog(path, store=store)
 
 
 class CountingStore(LocalLogStore):
@@ -99,49 +116,82 @@ def test_snapshot_io_bounded_on_old_table(tmp_path):
     assert store.total_io - before <= 3
 
 
-def test_latest_version_probe_matches_listdir(tmp_path):
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+def test_latest_version_probe_matches_listdir(make_log):
+    log = make_log()
     assert log.latest_version() is None
     for n in (1, CHECKPOINT_INTERVAL - 1, CHECKPOINT_INTERVAL + 3, 57):
         _commit_n(log, n - (log.latest_version() + 1 if log.latest_version() is not None else 0),
                   start=(log.latest_version() + 1 if log.latest_version() is not None else 0))
-        cold = CommitLog(path)
+        cold = make_log()
         assert cold.latest_version() == n - 1 == max(log.versions())
 
 
-def test_pointer_written_at_checkpoint(tmp_path):
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+def test_pointer_written_at_checkpoint(make_log):
+    log = make_log()
     _commit_n(log, CHECKPOINT_INTERVAL + 1)
-    ptr_file = os.path.join(path, "_log", "_last_checkpoint")
-    assert os.path.isfile(ptr_file)
-    assert json.load(open(ptr_file))["version"] == CHECKPOINT_INTERVAL
+    ptr = json.loads(log.store.read("_last_checkpoint"))
+    assert ptr["version"] == CHECKPOINT_INTERVAL
 
 
-def test_time_travel_below_pointer(tmp_path):
+def test_time_travel_below_pointer(make_log):
     """Snapshot at a version older than the newest checkpoint must
     probe checkpoint slots downward, not trust the pointer blindly."""
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+    log = make_log()
     _commit_n(log, 100)
-    cold = CommitLog(path)
+    cold = make_log()
     snap = cold.snapshot(45)
     assert snap.version == 45
     assert len(snap.live_files) == 46
 
 
-def test_commit_conflict_still_atomic(tmp_path):
-    path = str(tmp_path / "t")
-    a, b = CommitLog(path), CommitLog(path)
+def test_commit_conflict_still_atomic(make_log):
+    a, b = make_log(), make_log()
     _commit_n(a, 3)
     with pytest.raises(CommitConflict):
         b.try_commit(LogEntry(version=2, schema_json="{}"))
 
 
-def test_expire_log_retention(tmp_path):
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+def test_concurrent_writers_interleave_without_lost_commits(make_log):
+    """Two writers racing version-by-version over the SAME store: every
+    version is committed by exactly one writer, the loser observes
+    CommitConflict and re-reads — 60 commits land as versions 0..59 with
+    no gaps and no overwrites (the memory-store variant overlaps the
+    writers under injected per-op latency)."""
+    import threading
+
+    wins: dict[str, list[int]] = {"a": [], "b": []}
+
+    def writer(name: str) -> None:
+        log = make_log()
+        for _ in range(30):
+            while True:
+                latest = log.latest_version()
+                v = 0 if latest is None else latest + 1
+                try:
+                    log.try_commit(
+                        LogEntry(version=v, schema_json="{}",
+                                 adds=[{"path": f"data/{name}-{v}.parquet",
+                                        "bucket": 0, "rows": 1,
+                                        "schema_version": 0}],
+                                 manifest={"batch_id": f"{name}-{v}"})
+                    )
+                    wins[name].append(v)
+                    break
+                except CommitConflict:
+                    continue
+
+    ts = [threading.Thread(target=writer, args=(n,)) for n in ("a", "b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(wins["a"] + wins["b"]) == list(range(60))
+    cold = make_log()
+    snap = cold.snapshot()
+    assert snap.version == 59
+    assert len(snap.live_files) == 60  # every writer's files survived
+
+
+def test_expire_log_retention(make_log):
+    log = make_log()
     _commit_n(log, 101)  # checkpoints at 20,40,60,80,100
 
     res = log.expire_log(retain_checkpoints=2)
@@ -152,7 +202,7 @@ def test_expire_log_retention(tmp_path):
 
     # current state unaffected — including the FULL epoch-fence history,
     # which the checkpoint snapshot carries
-    cold = CommitLog(path)
+    cold = make_log()
     snap = cold.snapshot()
     assert snap.version == 100
     assert len(snap.live_files) == 101
@@ -161,26 +211,25 @@ def test_expire_log_retention(tmp_path):
     # retained-window time travel still works
     assert cold.snapshot(85).version == 85
     # below the floor: clear error, not a partial fold
-    fresh = CommitLog(path)
+    fresh = make_log()
     with pytest.raises(VersionNotRetained):
         fresh.snapshot(50)
 
     # writers keep committing after expiry
     _commit_n(log, 2, start=101)
-    assert CommitLog(path).snapshot().version == 102
+    assert make_log().snapshot().version == 102
 
 
-def test_expire_keeps_at_least_one_checkpoint(tmp_path):
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+def test_expire_keeps_at_least_one_checkpoint(make_log):
+    log = make_log()
     _commit_n(log, 25)
     with pytest.raises(ValueError):
         log.expire_log(retain_checkpoints=0)
     log.expire_log(retain_checkpoints=1)
-    assert CommitLog(path).snapshot().version == 24
+    assert make_log().snapshot().version == 24
 
 
-def test_expire_log_repairs_lagging_pointer(tmp_path):
+def test_expire_log_repairs_lagging_pointer(make_log):
     """A crash between a checkpoint's publish and the pointer overwrite
     (or a lost pointer race) leaves ptr < newest checkpoint.  Before
     expiry that only costs probes; after expiry a pointer below the
@@ -189,8 +238,7 @@ def test_expire_log_repairs_lagging_pointer(tmp_path):
     raising until the next checkpoint.  expire_log must revalidate the
     pointer, and latest_version must recover even if it encounters a
     stale pointer some other way."""
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+    log = make_log()
     _commit_n(log, 101)  # checkpoints at 20,40,60,80,100
 
     # simulate the crash/race: pointer lags at 20
@@ -200,30 +248,59 @@ def test_expire_log_repairs_lagging_pointer(tmp_path):
 
     # pointer was repaired to the newest retained checkpoint
     assert json.loads(log.store.read("_last_checkpoint"))["version"] == 100
-    fresh = CommitLog(path)
+    fresh = make_log()
     assert fresh.latest_version() == 100
     assert fresh.snapshot().version == 100
 
 
-def test_latest_version_recovers_from_stale_pointer_in_expired_region(tmp_path):
+def test_latest_version_recovers_from_stale_pointer_in_expired_region(make_log):
     """Belt-and-braces for the same race if the pointer is stale-written
     AFTER expiry (e.g. a delayed overwrite from a dying writer landing
     last): the forward probe starts in the deleted region and must fall
     back to a LIST instead of returning an unreconstructible version."""
-    path = str(tmp_path / "t")
-    log = CommitLog(path)
+    log = make_log()
     _commit_n(log, 101)
     log.expire_log(retain_checkpoints=2)  # floor 80
     # delayed stale overwrite lands after expiry
     log.store.put_overwrite("_last_checkpoint", json.dumps({"version": 20}))
 
-    fresh = CommitLog(path)
+    fresh = make_log()
     assert fresh.latest_version() == 100
     assert fresh.snapshot().version == 100
-    # healthy-pointer readers never pay the LIST fallback
+
+
+def test_healthy_pointer_never_pays_list_fallback(tmp_path):
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 101)
+    log.expire_log(retain_checkpoints=2)
     store = CountingStore(os.path.join(path, "_log"))
-    store.put_overwrite("_last_checkpoint", json.dumps({"version": 100}))
     healthy = CommitLog(path, store=store)
     store.counts["list"] = 0
     assert healthy.snapshot().version == 100
     assert store.counts["list"] == 0
+
+
+def test_lost_pointer_overwrite_race_is_survivable(tmp_path):
+    """Object-store pointer race, injected: the checkpoint at v100
+    publishes but its pointer overwrite LOSES to a concurrent stale PUT
+    (InMemoryLogStore.lose_next_overwrite).  Readers must still resolve
+    the true latest (bounded forward probes from the stale pointer), and
+    expire_log must repair the pointer rather than strand them."""
+    store = InMemoryLogStore(latency=0.0002)
+    path = "mem://t"
+    log = CommitLog(path, store=store)
+    _commit_n(log, 81)  # pointer now 80
+    store.lose_next_overwrite("_last_checkpoint")
+    _commit_n(log, 20, start=81)  # ckpt-100 publishes; pointer PUT lost
+    assert json.loads(store.read("_last_checkpoint"))["version"] == 80
+
+    fresh = CommitLog(path, store=store)
+    assert fresh.latest_version() == 100  # probes forward past the stale ptr
+    assert fresh.snapshot().version == 100
+
+    log.expire_log(retain_checkpoints=1)  # floor 100
+    assert json.loads(store.read("_last_checkpoint"))["version"] == 100
+    cold = CommitLog(path, store=store)
+    assert cold.snapshot().version == 100
+    assert cold.snapshot().committed_batch_ids == list(range(101))

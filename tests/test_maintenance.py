@@ -104,3 +104,64 @@ def test_vacuum_with_log_expiry(spark, tmpdir_path):
         t, spark.createDataFrame([_ev("U", "d0", 1, [9])], CDC_SCHEMA), batch_id=100
     )
     assert m["skipped"] is True
+
+
+def test_streaming_self_maintenance_bounds_log_and_orphans(spark, tmpdir_path):
+    """A long-running stream with the every-N-batches maintenance hook
+    (maintain_every) must be SELF-maintaining: after 300 one-file
+    micro-batches the _log directory and the data-file count are both
+    bounded by the retention windows, not by batch count — and the final
+    state still equals the replay oracle."""
+    from tickers_daily_intraday_etl_spark.cdc.feedgen import (
+        generate_feed,
+        write_feed_segments,
+    )
+    from tickers_daily_intraday_etl_spark.cdc.oracle import final_state_frame
+    from tickers_daily_intraday_etl_spark.lake.log import CHECKPOINT_INTERVAL
+    from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
+
+    events = generate_feed(n_events=1500, n_docs=120, seed=11)
+    feed = os.path.join(tmpdir_path, "feed")
+    write_feed_segments(events, feed, n_segments=300)
+    pipe = CdcPipeline(
+        spark,
+        feed,
+        os.path.join(tmpdir_path, "t"),
+        os.path.join(tmpdir_path, "c"),
+        num_buckets=4,
+        max_files_per_trigger=1,
+        maintain_every=20,
+        vacuum_retain_versions=4,
+        expire_log_checkpoints=2,
+    )
+    lineage = pipe.run_available_now()
+    n_batches = len([m for m in lineage if "batch_id" in m])
+    assert n_batches >= 300
+    maint = [m["maintenance"] for m in lineage if "maintenance" in m]
+    assert len(maint) >= 14  # the hook actually fired on cadence
+
+    # _log stays bounded: entries above the retained floor (< 2
+    # checkpoint intervals after the last expiry, + <=20 since) +
+    # retained checkpoints + pointer — NOT ~300 files
+    log_files = os.listdir(os.path.join(tmpdir_path, "t", "_log"))
+    assert len(log_files) <= 3 * CHECKPOINT_INTERVAL + 10, len(log_files)
+
+    # data files stay bounded by the vacuum retention window, not by
+    # 300 rewrites x 4 buckets
+    data_files = [
+        f
+        for root, _d, files in os.walk(os.path.join(tmpdir_path, "t", "data"))
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) <= 24 * 4 + 16, len(data_files)
+
+    # and the maintained table still replays to the oracle state
+    oracle = final_state_frame(events)
+    exp = sorted(
+        (r["doc_id"], list(r["tokens"]))
+        for _, r in oracle.iterrows()
+        if r["tokens"] is not None
+    )
+    got = sorted((r.doc_id, list(r.tokens)) for r in pipe.table.read().collect())
+    assert got == exp

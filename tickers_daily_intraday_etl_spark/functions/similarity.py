@@ -234,6 +234,21 @@ def _seq_dot(a: list[float], b: list[float]) -> float:
     return s
 
 
+IVF_SAMPLE_CAP = 2048  # upper bound on driver-collected training rows
+
+
+def ivf_sample_mod(n_vectors: int, base_mod: int = 7, cap: int = IVF_SAMPLE_CAP) -> int:
+    """Training-sample modulus that keeps the driver-collected k-means
+    sample SIZE-BOUNDED at any corpus size: ``vec_id % mod == 0`` with
+    ``mod = max(base_mod, ceil(n / cap))`` selects ~``min(n/base_mod,
+    cap)`` rows — a constant at scale, never a fraction of the corpus
+    (a fixed modulus collected ~n/7 rows to the driver: an OOM plus a
+    serial training stage at 100x corpus).  Deterministic in n alone so
+    an SQL oracle reproduces the same sample via
+    ``GREATEST(base, CAST(CEIL(COUNT(*) / cap) AS BIGINT))``."""
+    return max(base_mod, -(-n_vectors // cap))
+
+
 def train_centroids_lloyd_seq(
     sample: list[tuple],
     centroids: list[list[float]],
@@ -248,9 +263,10 @@ def train_centroids_lloyd_seq(
     ``sample``: (id, vector) pairs SORTED by id — the summation order is
     part of the contract.  Assignment = max cosine, ties to the lower
     centroid index; empty clusters keep their previous centroid.  At
-    corpus scale the sample stays k*O(100) rows (a seeded modulus of the
-    id space), so training cost is independent of table size; the full
-    table only ever sees the finished centroids as literals."""
+    corpus scale the sample stays <= IVF_SAMPLE_CAP rows (the modulus
+    scales with corpus size — ``ivf_sample_mod``), so training cost is
+    independent of table size; the full table only ever sees the
+    finished centroids as literals."""
     import math
 
     for _ in range(iters):

@@ -132,6 +132,84 @@ class LocalLogStore(LogStore):
         return os.listdir(self.root)
 
 
+class InMemoryLogStore(LogStore):
+    """Object-store-semantics test double (no filesystem, no rename):
+
+    * ``put_if_absent`` is a CONDITIONAL PUT — atomic under a lock, and
+      raises ``FileExistsError`` on conflict exactly like S3
+      ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``;
+    * ``put_overwrite`` is last-writer-wins, and ``lose_next_overwrite``
+      arms a LOST-RACE injection: the victim's value is accepted and
+      then immediately superseded by the value present before it (the
+      crash-between-checkpoint-and-pointer / delayed-stale-PUT scenario
+      ``expire_log`` must tolerate);
+    * ``latency`` injects a sleep before every primitive (object-store
+      RTT) so multi-writer interleavings actually overlap in tests.
+
+    Shared across ``CommitLog`` instances to model concurrent writers /
+    fresh readers over one bucket; all per-reader caches live in
+    CommitLog, never here."""
+
+    def __init__(self, latency: float = 0.0):
+        import threading
+
+        self._objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+        self._lose_overwrite: set[str] = set()
+        self.latency = latency
+
+    def _rtt(self) -> None:
+        if self.latency:
+            import time
+
+            time.sleep(self.latency)
+
+    def lose_next_overwrite(self, name: str) -> None:
+        """Arm a lost put_overwrite race for ``name``: the next overwrite
+        is applied and then reverted to the prior value, as if a slower
+        concurrent writer's stale PUT landed last."""
+        with self._lock:
+            self._lose_overwrite.add(name)
+
+    def read(self, name: str) -> str:
+        self._rtt()
+        with self._lock:
+            if name not in self._objects:
+                raise FileNotFoundError(name)
+            return self._objects[name]
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        self._rtt()
+        with self._lock:
+            if name in self._objects:
+                raise FileExistsError(name)
+            self._objects[name] = data
+
+    def put_overwrite(self, name: str, data: str) -> None:
+        self._rtt()
+        with self._lock:
+            if name in self._lose_overwrite:
+                self._lose_overwrite.discard(name)
+                # accepted, then superseded by the concurrent stale PUT
+                return
+            self._objects[name] = data
+
+    def exists(self, name: str) -> bool:
+        self._rtt()
+        with self._lock:
+            return name in self._objects
+
+    def delete(self, name: str) -> None:
+        self._rtt()
+        with self._lock:
+            self._objects.pop(name, None)
+
+    def list_names(self) -> list[str]:
+        self._rtt()
+        with self._lock:
+            return list(self._objects)
+
+
 @dataclass
 class LogEntry:
     version: int

@@ -1099,7 +1099,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ASSIGN_COS = _COS_SQL.format(a="v.e", b="c.ce")
-_IVF_SAMPLE_MOD = 7  # training sample: vec_id % 7 == 0 (~n/7 rows, k<<sample)
+# training sample: vec_id % mod == 0 with mod scaled to corpus size so
+# |sample| <= similarity.IVF_SAMPLE_CAP at ANY scale (at test SFs the
+# corpus is small and mod stays at the base 7); the SQL oracle computes
+# the identical modulus from COUNT(*) via a scalar subquery
+_IVF_SAMPLE_MOD = 7
+_IVF_SAMPLE_MOD_SQL = (
+    f"(SELECT GREATEST({_IVF_SAMPLE_MOD}, "
+    f"CAST(CEIL(COUNT(*) / {similarity.IVF_SAMPLE_CAP}.0) AS BIGINT)) FROM embeddings)"
+)
 
 
 def _lloyd_iter_sql(src_c: str, idx: int) -> str:
@@ -1135,7 +1143,7 @@ def _lloyd_iter_sql(src_c: str, idx: int) -> str:
     "ivf_topk",
     f"""
     WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-                 WHERE vec_id % {_IVF_SAMPLE_MOD} = 0),
+                 WHERE vec_id % {_IVF_SAMPLE_MOD_SQL} = 0),
     c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 4),
     {_lloyd_iter_sql('c0', 1)},
     {_lloyd_iter_sql('c1', 2)},
@@ -1161,10 +1169,13 @@ def _lloyd_iter_sql(src_c: str, idx: int) -> str:
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-list search with TRAINED centroids: k-means-lite (init =
-    embeddings 0..3, two Lloyd iterations over the vec_id % 7 sample),
-    then 2-probe search for query vec_id=5.  Training is
-    sequential-double driver math over a size-bounded sample, so the
-    oracle replays it exactly (unrolled Lloyd CTEs); the full table only
+    embeddings 0..3, two Lloyd iterations over a SIZE-BOUNDED vec_id
+    modulus sample — ``similarity.ivf_sample_mod`` scales the modulus
+    with COUNT(*) so at most IVF_SAMPLE_CAP rows ever reach the driver,
+    and the oracle computes the identical modulus via a scalar
+    subquery), then 2-probe search for query vec_id=5.  Training is
+    sequential-double driver math over that sample, so the oracle
+    replays it exactly (unrolled Lloyd CTEs); the full table only
     sees the finished centroids as literals — the Spark-side scan stays
     one assignment pass + one probe-pruned top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1172,9 +1183,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
     ]
+    mod = similarity.ivf_sample_mod(emb.count(), base_mod=_IVF_SAMPLE_MOD)
     sample = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") % _IVF_SAMPLE_MOD == 0)
+        for r in emb.where(F.col("vec_id") % mod == 0)
         .orderBy("vec_id")
         .collect()
     ]

@@ -51,6 +51,9 @@ class CdcPipeline:
         compact_every: int | None = None,
         compact_delta_files_threshold: int | None = None,
         merge_mode: str = "cow",
+        maintain_every: int | None = None,
+        vacuum_retain_versions: int = 8,
+        expire_log_checkpoints: int = 2,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -69,6 +72,17 @@ class CdcPipeline:
         # after every batch; the check is metadata-only).
         self.compact_delta_files_threshold = compact_delta_files_threshold
         self.merge_mode = merge_mode
+        # Self-maintenance cadence (off by default): every N applied
+        # batches run vacuum (+ commit-log expiry) so a long-running
+        # stream keeps its _log directory and orphan count BOUNDED
+        # instead of growing one entry per micro-batch forever.  The
+        # vacuum uses min_age_seconds=0 here: within one pipeline there
+        # is no concurrent in-flight merge whose uncommitted files need
+        # the age guard (multi-writer deployments should run vacuum out
+        # of band with the default age guard instead).
+        self.maintain_every = maintain_every
+        self.vacuum_retain_versions = vacuum_retain_versions
+        self.expire_log_checkpoints = expire_log_checkpoints
         self._batches_applied = 0
         from tickers_daily_intraday_etl_spark.cdc import schemas as S
 
@@ -151,6 +165,19 @@ class CdcPipeline:
                             self.table,
                             max_files_per_bucket=None,
                             max_delta_files_per_bucket=self.compact_delta_files_threshold,
+                        )
+                    }
+                )
+            if self.maintain_every and self._batches_applied % self.maintain_every == 0:
+                from tickers_daily_intraday_etl_spark.lake.maintenance import vacuum
+
+                self.lineage.append(
+                    {
+                        "maintenance": vacuum(
+                            self.table,
+                            retain_last_n_versions=self.vacuum_retain_versions,
+                            min_age_seconds=0.0,
+                            expire_log_checkpoints=self.expire_log_checkpoints,
                         )
                     }
                 )
