@@ -378,7 +378,8 @@ def _write_report(s: dict) -> None:
         "# BENCH/BASELINE.md — measured scaling evidence",
         "",
         "Protocol (BASELINE.md): same CDC ingest job (streaming binlog ->",
-        "LWW dedup -> bucket-pruned MERGE, 128 buckets, salt 16), same",
+        "bucket-clustered LWW MERGE, single payload shuffle, 128 buckets,",
+        "salt off — see BENCH/shuffle_bytes.md), same",
         f"pre-generated feed ({s['events']:,} events, Zipf-skewed keys, 5%",
         "deletes), run at two parallelism levels in separate JVMs;",
         f"{RUNS_PER_LEVEL} runs per level, median reported.  Codecs",
