@@ -64,6 +64,17 @@ def run_cdc_throughput(spark, sf: float) -> dict:
     feed_dir = os.path.join(work, "feed")
     events = generate_feed(n_events=n_events, n_docs=n_docs, seed=42)
     write_feed_segments(events, feed_dir, n_segments=4)
+    # JIT warm-up (same convention as bench_scaling.py): the first
+    # streaming micro-batch otherwise absorbs the merge pipeline's
+    # whole-stage-codegen compilation (~3s measured), which is a
+    # per-JVM constant, not a per-event cost
+    wu = generate_feed(n_events=20_000, n_docs=1_000, seed=7)
+    write_feed_segments(wu, os.path.join(work, "feed-wu"), n_segments=1)
+    CdcPipeline(
+        spark, os.path.join(work, "feed-wu"),
+        os.path.join(work, "table-wu"), os.path.join(work, "ckpt-wu"),
+        num_buckets=64,
+    ).run_available_now()
     pipe = CdcPipeline(
         spark,
         feed_dir,

@@ -62,3 +62,33 @@ def test_multiple_keys_independent(spark):
     )
     out = {r.doc_id: r.tokens for r in lww_dedup(df).collect()}
     assert out == {"a": [1], "b": [9]}
+
+
+def test_clustered_and_salted_clustered_equal_plain(spark):
+    """All four plan shapes of lww_winner (plain / salted / clustered /
+    salted+clustered) must pick identical winners — the clustered modes
+    additionally carry the cluster column through group keys instead of
+    the row struct, and the salted+clustered path runs the pre-reduce
+    before the bucket repartition."""
+    from pyspark.sql import functions as F
+
+    from tickers_daily_intraday_etl_spark.cdc.dedup import lww_winner
+
+    rows = [_ev("U", f"d{i % 23}", 100 + (i % 61), i % 50, [i]) for i in range(600)]
+    df = spark.createDataFrame(rows, CDC_SCHEMA).withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    )
+
+    def state(out):
+        return {r.doc_id: (r.lsn, r.commit_ts, r.tokens, r._bucket) for r in out.collect()}
+
+    plain = state(lww_winner(df, "doc_id", "lsn", "commit_ts"))
+    assert len(plain) == 23
+    for kw in (
+        {"salt_partitions": 4},
+        {"cluster_col": "_bucket"},
+        {"cluster_col": "_bucket", "cluster_partitions": 16},
+        {"salt_partitions": 4, "cluster_col": "_bucket"},
+    ):
+        got = state(lww_winner(df, "doc_id", "lsn", "commit_ts", **kw))
+        assert got == plain, kw
