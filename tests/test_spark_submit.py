@@ -64,6 +64,36 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmpdir_path):
     assert rec2["table_version"] == rec["table_version"]
 
 
+def test_spark_submit_maintain_every(spark, tmpdir_path):
+    """--maintain-every through the deploy path: in-stream vacuum + log
+    expiry run on cadence and the state still matches the oracle."""
+    feed = os.path.join(tmpdir_path, "feed")
+    table = os.path.join(tmpdir_path, "table")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    events = generate_feed(n_events=900, n_docs=50, seed=9)
+    write_feed_segments(events, feed, n_segments=12)
+
+    rec = _submit(feed, table, ckpt, "--max-files-per-trigger", "1",
+                  "--maintain-every", "5", "--vacuum-retain-versions", "3",
+                  "--expire-log-checkpoints", "1")
+    assert rec["rows_in"] == len(events)
+    assert rec["batches"] >= 12
+
+    from tickers_daily_intraday_etl_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, table)
+    got = {
+        r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+        for r in t.read().collect()
+    }
+    oracle = final_state_frame(events)
+    exp = {
+        r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+        for _, r in oracle.iterrows()
+    }
+    assert got == exp
+
+
 def test_spark_submit_merge_mode_mor(spark, tmpdir_path):
     """The --merge-mode mor deploy path: delta-file merges through
     spark-submit, hot buckets folded by --compact-delta-threshold,
