@@ -75,31 +75,29 @@ def run_cdc_throughput(spark, sf: float) -> dict:
         os.path.join(work, "table-wu"), os.path.join(work, "ckpt-wu"),
         num_buckets=64,
     ).run_available_now()
-    pipe = CdcPipeline(
-        spark,
-        feed_dir,
-        os.path.join(work, "table"),
-        os.path.join(work, "ckpt"),
-        num_buckets=64,
-        max_files_per_trigger=1,
-    )
-    t0 = time.time()
-    pipe.run_available_now()
-    dt = time.time() - t0
+    # each variant is timed best-of-2 over fresh tables/checkpoints —
+    # the same noise treatment the headline queries get (the host's
+    # co-tenant bandwidth bursts hit single draws for ±50%)
+    def timed_drain(feed, tag, n_draws=2, **kw):
+        best = None
+        for d in range(n_draws):
+            p = CdcPipeline(
+                spark, feed,
+                os.path.join(work, f"table-{tag}{d}"),
+                os.path.join(work, f"ckpt-{tag}{d}"),
+                num_buckets=64, **kw,
+            )
+            t0 = time.time()
+            p.run_available_now()
+            best = min(time.time() - t0, best) if best is not None else time.time() - t0
+        return best
+
     total = len(events)
+    dt = timed_drain(feed_dir, "pf", max_files_per_trigger=1)
     # second variant: the same feed drained as ONE micro-batch — the
     # steady-state number (per-file batches above are fixed-cost bound;
     # at 10^10 events real batches are segment-sized, not file-sized)
-    pipe_big = CdcPipeline(
-        spark,
-        feed_dir,
-        os.path.join(work, "table-big"),
-        os.path.join(work, "ckpt-big"),
-        num_buckets=64,
-    )
-    t0 = time.time()
-    pipe_big.run_available_now()
-    dt_big = time.time() - t0
+    dt_big = timed_drain(feed_dir, "big")
     # third variant: a 2M-event feed in large segments — the sustained
     # bulk rate with fixed costs amortized (the number comparable to the
     # scaling bench's per-level throughput; the sf-scaled feed above is
@@ -108,16 +106,7 @@ def run_cdc_throughput(spark, sf: float) -> dict:
     bulk_feed = os.path.join(work, "feed-bulk")
     bulk = generate_feed(n_events=bulk_events, n_docs=bulk_events // 20, seed=43)
     write_feed_segments(bulk, bulk_feed, n_segments=2)
-    pipe_bulk = CdcPipeline(
-        spark,
-        bulk_feed,
-        os.path.join(work, "table-bulk"),
-        os.path.join(work, "ckpt-bulk"),
-        num_buckets=64,
-    )
-    t0 = time.time()
-    pipe_bulk.run_available_now()
-    dt_bulk = time.time() - t0
+    dt_bulk = timed_drain(bulk_feed, "bulk")
     shutil.rmtree(work, ignore_errors=True)
     return {
         "events": total,
