@@ -400,3 +400,52 @@ def test_dense_merge_with_schema_evolution(spark, tmpdir_path):
     out = {r.doc_id: r for r in t.read().collect()}
     assert out["d0"].source_version == 2 and out["d0"].tokens == [0, 0]
     assert out["d1"].source_version is None and out["d1"].tokens == [1]
+
+
+def test_two_threads_merging_concurrently_converge(spark, tmpdir_path):
+    """TRUE concurrency (not injected races): two writer threads apply
+    interleaved halves of one feed as competing CoW merges on the same
+    table.  Every commit races through the OCC loop (retry-re-plan on
+    ConcurrentModificationError, version CAS in the log), and because
+    the LWW order (lsn, commit_ts, fingerprint) is total, ANY
+    serialization of the batches must converge to the replay oracle's
+    exact final state."""
+    import threading
+
+    from tickers_daily_intraday_etl_spark.cdc.feedgen import generate_feed
+    from tickers_daily_intraday_etl_spark.cdc.oracle import final_state_frame
+
+    events = generate_feed(n_events=1200, n_docs=80, seed=13)
+    table = _table(spark, tmpdir_path, num_buckets=4)
+    halves = {"a": events.iloc[::2], "b": events.iloc[1::2]}
+    errors = []
+
+    def writer(tag):
+        try:
+            part = halves[tag]
+            n = len(part)
+            for i in range(4):
+                chunk = part.iloc[i * n // 4 : (i + 1) * n // 4]
+                batch = spark.createDataFrame(chunk, schema=CDC_SCHEMA)
+                merge_into(table, batch, batch_id=f"{tag}-{i}",
+                           max_conflict_retries=50)
+        except Exception as e:  # surface into the main thread
+            errors.append((tag, e))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert errors == [], errors
+
+    oracle = final_state_frame(events)
+    exp = {
+        r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+        for _, r in oracle.iterrows()
+        if r["tokens"] is not None
+    }
+    got = {r.doc_id: list(r.tokens) for r in table.read().collect()}
+    assert got == exp
+    # all 8 epochs fenced exactly once
+    assert sorted(table.committed_batch_ids()) == sorted(
+        f"{t}-{i}" for t in ("a", "b") for i in range(4)
+    )
