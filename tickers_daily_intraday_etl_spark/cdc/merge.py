@@ -85,22 +85,37 @@ _EST_BYTES_PER_ROW = 256
 _DENSE_MIN_EST_ROWS = 10_000
 
 
-def _cluster_partitions(table: LakeTable) -> int:
-    """Partition count for the bucket-clustered LWW exchange:
-    ``max(spark.sql.shuffle.partitions, num_buckets)``.  The per-
-    partition unit must stay BUCKET-sized, not (rows / cores)-sized —
-    the aggregate above the exchange is a SortAggregate (max_by over a
-    struct is not hash-aggregable), and at low parallelism a
-    cores-sized partition count put millions of token-array rows into
-    each partition's sort, spilling and erasing the single-shuffle win
-    (measured: 8M-event batches at local[2]/[8] collapsed to a 1.4x
-    core-scaling ratio; bucket-sized partitions restore it).  More
-    partitions than buckets is harmless — a bucket is never split, so
-    the extras are empty and the write still emits one file per
-    bucket."""
-    return max(
-        int(table.spark.conf.get("spark.sql.shuffle.partitions")), table.num_buckets
-    )
+# Target rows per clustered-exchange partition: sorts of ~100k wide
+# rows stay in-memory (measured good at 62-100k; the collapse began at
+# ~1M rows/partition), while fewer partitions cut per-task fixed cost
+# (measured ~9% on 50k-row sustained micro-batches).
+_CLUSTER_TARGET_ROWS = 100_000
+
+
+def _cluster_partitions(table: LakeTable, est_total_rows: int | None = None) -> int:
+    """Partition count for the bucket-clustered LWW exchange, clamped to
+    ``[shuffle.partitions, max(shuffle.partitions, num_buckets)]`` and
+    row-targeted inside that band (``est_total_rows`` is the
+    metadata-only batch + pruned-target estimate; None = unknown).
+
+    The per-partition unit must NEVER become (rows / cores)-sized: the
+    aggregate above the exchange is a SortAggregate (max_by over a
+    struct is not hash-aggregable), and at low parallelism a cores-
+    sized count put millions of token-array rows into each partition's
+    sort, spilling and collapsing core-scaling to ~1.4x (measured on
+    the 8M-event feed; bucket-bounded counts restored 185k/485k ev/s
+    at 2/8 cores).  Within the safe band, fewer partitions mean fewer
+    tiny tasks for small micro-batches.  A count below num_buckets
+    only co-locates whole buckets (hash(bucket) % n); a bucket is
+    never split, so the write still emits one file per bucket — and
+    ``sortWithinPartitions(bucket, key)`` keeps one parquet writer
+    open at a time inside each task."""
+    conf = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+    hi = max(conf, table.num_buckets)
+    if est_total_rows is None:
+        return hi
+    need = -(-est_total_rows // _CLUSTER_TARGET_ROWS)
+    return max(conf, min(hi, need))
 
 
 def _estimated_rows(changes: DataFrame) -> int | None:
@@ -254,7 +269,9 @@ def _merge_once(
             src, table.key_col, LSN_COL, COMMIT_TS_COL,
             salt_partitions=salt_partitions,
             cluster_col=BUCKET_COL if clustered else None,
-            cluster_partitions=_cluster_partitions(table),
+            # row-target the exchange on the batch's metadata estimate
+            # (pre-dedup upper bound; deltas carry no target rows)
+            cluster_partitions=_cluster_partitions(table, _estimated_rows(changes)),
         )
         _t_plan = _time.time()
         new_adds = table._write_data(
@@ -301,8 +318,8 @@ def _merge_once(
     #       keep the pruning pre-scan: one small (op x bucket) aggregate
     #       (<= 3 * num_buckets rows) that bounds the rewrite to the
     #       touched fraction of the table.
-    if dense is None:  # auto: metadata-only Catalyst estimate
-        est = _estimated_rows(changes)
+    est = _estimated_rows(changes)  # metadata-only; reused for partition sizing
+    if dense is None:  # auto: dense iff the estimate clears every bucket
         dense = est is not None and est >= max(
             _DENSE_BATCH_ROWS_PER_BUCKET * table.num_buckets, _DENSE_MIN_EST_ROWS
         )
@@ -355,11 +372,17 @@ def _merge_once(
     # there, so the write must execute there too or `obs.get` waits
     # forever on a listener bus that never fires (the round-4 hang)
     unioned = src.select(*cols).unionByName(target.select(*cols))
+    # union volume estimate, all metadata: exact batch rows when the
+    # sparse stats pass ran (rows_in), else the Catalyst estimate, plus
+    # the pruned target's committed row counts from the snapshot
+    target_rows = sum(a["rows"] for a in old_adds)
+    batch_rows = rows_in if rows_in >= 0 else est
+    est_union = None if batch_rows is None else batch_rows + target_rows
     merged = lww_winner(
         unioned, table.key_col, LSN_COL, COMMIT_TS_COL,
         salt_partitions=salt_partitions,
         cluster_col=BUCKET_COL if clustered else None,
-        cluster_partitions=_cluster_partitions(table),
+        cluster_partitions=_cluster_partitions(table, est_union),
     )
 
     # -- 4. rewrite affected buckets; atomic commit with manifest
