@@ -118,7 +118,7 @@ def worker(cpus: int, feed_dir: str, work_dir: str) -> None:
         CdcPipeline(
             spark, warmup_feed,
             os.path.join(work_dir, "wu-table"), os.path.join(work_dir, "wu-ckpt"),
-            num_buckets=128, salt_partitions=16, max_files_per_trigger=None,
+            num_buckets=128, max_files_per_trigger=None,  # same plan shape
         ).run_available_now()
     pipe = CdcPipeline(
         spark,
@@ -449,8 +449,16 @@ def _write_report(s: dict) -> None:
         "set is reproducible rather than window-lucky.",
         "",
     ]
+    report = "\n".join(lines)
+    # builder-maintained analysis survives regeneration: every rewrite
+    # of latest.md re-appends BENCH/ANALYSIS.md (the narrative that a
+    # wholesale rewrite silently dropped once)
+    analysis = os.path.join("BENCH", "ANALYSIS.md")
+    if os.path.exists(analysis):
+        with open(analysis) as f:
+            report += "\n" + f.read()
     with open(os.path.join("BENCH", "latest.md"), "w") as f:
-        f.write("\n".join(lines))
+        f.write(report)
 
 
 if __name__ == "__main__":
