@@ -13,8 +13,11 @@ Hashes use the oracle-parity form (md5 hex -> 60-bit int, see
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tickers_daily_intraday_etl_spark.functions.text import (
     fingerprint_md5,
@@ -47,18 +50,41 @@ def distinct_by_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- shingles
+_SHINGLE_UDFS: dict = {}
+
+
+def _shingle_udf(k: int):
+    """Vectorized shingle kernel (pandas UDF, one per k): joins
+    JVM-produced token arrays into distinct k-word shingles.
+
+    Why Python here (guide §4.2): the former pure-Column form evaluated
+    ``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, k)))``
+    — three interpreted expression-tree evaluations PER SHINGLE (higher-
+    order lambdas never enter whole-stage codegen), measured ~11s for
+    920k shingles at sf1.0 where this kernel takes ~1.5s.  Tokenization
+    (regex, lower, trim) stays in the JVM, so no locale/regex semantics
+    cross the boundary — the kernel only ``' '.join``s adjacent tokens
+    (== concat_ws(' ')) and dedups with first-occurrence order
+    (== array_distinct)."""
+    if k in _SHINGLE_UDFS:
+        return _SHINGLE_UDFS[k]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def kernel(tok: pd.Series) -> pd.Series:
+        def one(ts):
+            if ts is None or len(ts) < k:
+                return []
+            return list(dict.fromkeys(" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)))
+
+        return tok.map(one)
+
+    _SHINGLE_UDFS[k] = kernel
+    return kernel
+
+
 def word_shingles(col, k: int = 3) -> F.Column:
     """Distinct k-word shingles of normalized text (strings)."""
-    toks = ws_tokens(normalize_text(col))
-    n = F.size(toks)
-    # NB: sequence(1, 0) DESCENDS in Spark — guard the n < k case explicitly
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(
-        F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
-    )
+    return _shingle_udf(k)(ws_tokens(normalize_text(col)))
 
 
 # ----------------------------------------------------------------- MinHash

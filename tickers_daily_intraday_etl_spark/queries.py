@@ -50,6 +50,39 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _fan_out_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL scan to session parallelism before
+    compute-dense per-row work (shingle kernels, per-token hashing,
+    hyperplane dots).
+
+    Why (guide §2.5 input skew / §6 split sizing): a compact parquet
+    input (the 6 MB sf1.0 documents file) splits into ~totalBytes/
+    openCostInBytes scan tasks — 6 tasks on a 32-core session — and
+    every downstream map-side operator inherits that width; the dedup
+    family's explode+hash work then runs 5x under-parallel (measured:
+    minhash 5.3s -> 1.2s at sf1.0 with this fan-out).
+
+    Scale-adaptive, METADATA-ONLY (no job): the repartition is planned
+    only when the Catalyst size estimate says the whole input is below
+    one openCost-sized split per core — exactly the regime where the
+    scan under-parallelizes.  A big input (anything over ~cores * 4 MB)
+    passes through untouched, so at 100 TB this is a no-op rather than
+    a full-table shuffle."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes"))
+    except Exception:
+        open_cost = 4 * 1024 * 1024
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return df
+    if 0 < size < cores * open_cost:
+        return df.repartition(cores)
+    return df
+
+
 def _run_dir(kind: str, sf_dir: str) -> str:
     """Deterministic scratch dir per (query kind, sf): the previous run's
     table is deleted up front, so repeated driver/bench invocations keep
@@ -472,7 +505,7 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit("  ")).alias("text"),
     )
-    return docs.unionByName(dups)
+    return _fan_out_small(docs.unionByName(dups))
 
 
 @register(
@@ -524,7 +557,10 @@ def _near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
         ).alias("text"),
     )
-    return base.unionByName(ws_dups).unionByName(dropped)
+    # fan the tiny corpus scan out to session parallelism: every consumer
+    # (shingle kernel, token hashing, signature aggs) is compute-dense
+    # per-row work that otherwise runs at the scan's ~6-task width
+    return _fan_out_small(base.unionByName(ws_dups).unionByName(dropped))
 
 
 _SHINGLE_CTE = f"""
@@ -699,7 +735,7 @@ def _simhash_sql(bits: int = 32) -> str:
 
 @register("simhash_32", _simhash_sql())
 def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = _fan_out_small(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
     return dedupe.simhash(docs, "text", "doc_id", bits=32)
 
 
@@ -707,7 +743,7 @@ def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit signatures — the scale configuration: the near-pair band key
     gets 16-bit pigeonhole chunks (65k values) instead of 8-bit (256)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = _fan_out_small(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
     return dedupe.simhash(docs, "text", "doc_id", bits=64)
 
 
