@@ -11,6 +11,8 @@ probe list*; the bucket id is the shuffle key.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,22 +38,54 @@ def cosine_topk_to_query(
 ) -> DataFrame:
     """Brute-force top-k by cosine to a literal query vector.
     One scan + one top-k (no shuffle of the vectors themselves)."""
+    from tickers_daily_intraday_etl_spark.functions._util import fan_out_small
+
     q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.select(
+    scored = fan_out_small(df.select(id_col, vec_col)).select(
         F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+_BUCKET_KERNELS: dict = {}
+
+
 def hyperplane_lsh_bucket(vec_col, hyperplanes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id from deterministic hyperplanes (seeded off-line).
-    bucket = sum_b (dot(v, h_b) > 0) << b  — all JVM-side."""
-    bucket = F.lit(0)
-    for b, h in enumerate(hyperplanes):
-        hcol = F.array(*[F.lit(float(x)) for x in h])
-        bit = F.when(dot(vec_col, hcol) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+    """Sign-bit bucket id from deterministic hyperplanes (seeded off-line):
+    bucket = sum_b (dot(v, h_b) > 0) << b.
+
+    Evaluated by a vectorized pandas kernel (guide §4.2): the former
+    per-plane ``aggregate(zip_with(...))`` fold ran as an interpreted
+    expression tree — n_planes * dim closure evaluations PER ROW (HOF
+    lambdas never enter codegen), ~2s of every ANN query at sf1.0.  The
+    kernel runs the SAME left-to-right IEEE-double fold as a plain
+    Python loop (bit-identical signs to the JVM fold and to DuckDB's
+    ``list_dot_product`` — summation order is part of the oracle-parity
+    contract), at interpreter-bytecode rather than Catalyst-interpreter
+    cost.  NULL vector -> bucket 0, matching the former
+    when(NULL > 0)->otherwise(0) behavior."""
+    key = tuple(tuple(float(x) for x in h) for h in hyperplanes)
+    if key not in _BUCKET_KERNELS:
+        planes = [list(map(float, h)) for h in hyperplanes]
+
+        @F.pandas_udf("int")
+        def kernel(vec: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return 0
+                b = 0
+                for i, h in enumerate(planes):
+                    s = 0.0
+                    for x, y in zip(v, h):
+                        s += x * y
+                    if s > 0:
+                        b += 1 << i
+                return b
+
+            return vec.map(one)
+
+        _BUCKET_KERNELS[key] = kernel
+    return _BUCKET_KERNELS[key](vec_col)
 
 
 def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -118,10 +152,23 @@ def ann_bucketed_pairs(
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
     dim = len(head[0])
     planes = make_hyperplanes(n_planes, dim, seed)
-    v = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__bucket", hyperplane_lsh_bucket(F.col("__v"), planes))
+    from tickers_daily_intraday_etl_spark.functions._cache import (
+        persist_tracked,
+        release_previous,
+    )
+    from tickers_daily_intraday_etl_spark.functions._util import fan_out_small
+
+    release_previous("ann_bucketed_pairs")
+    # persisted (tracked, one generation — _cache.py): both self-join
+    # sides otherwise re-run the scan + bucket kernel (measured 2.0s vs
+    # 0.9s at sf1.0)
+    v = persist_tracked(
+        "ann_bucketed_pairs",
+        fan_out_small(df.select(id_col, vec_col)).select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).withColumn("__bucket", hyperplane_lsh_bucket(F.col("__v"), planes)),
+    )
     if multiprobe > 0:
         probes = F.array(
             F.col("__bucket"),
@@ -179,7 +226,9 @@ def ann_multitable_pairs(
     if head is None or head[0] is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
     dim = len(head[0])
-    v = df.select(
+    from tickers_daily_intraday_etl_spark.functions._util import fan_out_small
+
+    v = fan_out_small(df.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
@@ -330,7 +379,14 @@ def ivf_topk_to_query(
 
     Probe selection uses sequential double math (``_seq_dot``) so an SQL
     oracle computing the same cosines picks the identical probe lists
-    (ties break toward the lower centroid id on both sides)."""
+    (ties break toward the lower centroid id on both sides).
+
+    Plan shape: the nearest-centroid assignment is computed INLINE and
+    filtered in the same projection, then top-k — one scan, zero
+    shuffles (TakeOrderedAndProject only).  The former
+    ``df.join(ivf_assign(df).where(...))`` self-join shuffled the whole
+    table by id twice to attach a value derivable from the row itself
+    (guide §2.4: remove shuffles outright)."""
     import math
 
     qn = math.sqrt(_seq_dot(query, query))
@@ -339,8 +395,47 @@ def ivf_topk_to_query(
         denom = math.sqrt(_seq_dot(c, c)) * qn
         sims.append(_seq_dot(c, query) / denom if denom else float("-inf"))
     probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
-    assigned = ivf_assign(df, vec_col, id_col, centroids)
-    shortlist = df.join(
-        assigned.where(F.col("centroid_id").isin(probe)).select(id_col), on=id_col
+    from tickers_daily_intraday_etl_spark.functions._util import fan_out_small
+
+    v = fan_out_small(df.select(id_col, vec_col)).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    return cosine_topk_to_query(shortlist, vec_col, id_col, query, k)
+    # nearest-centroid assignment as a vectorized kernel: the same
+    # sequential-double cosine and lower-index tie-break as ivf_assign,
+    # bit-identical comparisons (NaN from a zero norm loses, like the
+    # JVM's NULL/NaN > best), without K * 3 * dim interpreted HOF
+    # evaluations per row
+    cents = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf("int")
+    def nearest(vec: pd.Series) -> pd.Series:
+        import math as _m
+
+        norms = [_m.sqrt(_seq_dot(c, c)) for c in cents]
+
+        def one(v):
+            if v is None:
+                return 0
+            en = _m.sqrt(_seq_dot(v, v))
+            best, best_s = 0, None
+            for ci, c in enumerate(cents):
+                denom = en * norms[ci]
+                s = _seq_dot(v, c) / denom if denom else float("nan")
+                # Spark/DuckDB comparison semantics order NaN ABOVE every
+                # real value; Python's NaN compares false both ways — map
+                # NaN to +inf so a degenerate zero-norm cosine wins/keeps
+                # exactly as the JVM expression did
+                if _m.isnan(s):
+                    s = float("inf")
+                if best_s is None or s > best_s:
+                    best, best_s = ci, s
+            return best
+
+        return vec.map(one)
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = (
+        v.where(nearest(F.col("__v")).isin(probe))
+        .select(F.col(id_col), cosine(F.col("__v"), q).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

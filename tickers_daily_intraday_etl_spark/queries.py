@@ -49,38 +49,8 @@ def _epoch_us(col_name: str) -> F.Column:
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
-
-def _fan_out_small(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a SMALL scan to session parallelism before
-    compute-dense per-row work (shingle kernels, per-token hashing,
-    hyperplane dots).
-
-    Why (guide §2.5 input skew / §6 split sizing): a compact parquet
-    input (the 6 MB sf1.0 documents file) splits into ~totalBytes/
-    openCostInBytes scan tasks — 6 tasks on a 32-core session — and
-    every downstream map-side operator inherits that width; the dedup
-    family's explode+hash work then runs 5x under-parallel (measured:
-    minhash 5.3s -> 1.2s at sf1.0 with this fan-out).
-
-    Scale-adaptive, METADATA-ONLY (no job): the repartition is planned
-    only when the Catalyst size estimate says the whole input is below
-    one openCost-sized split per core — exactly the regime where the
-    scan under-parallelizes.  A big input (anything over ~cores * 4 MB)
-    passes through untouched, so at 100 TB this is a no-op rather than
-    a full-table shuffle."""
-    spark = df.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes"))
-    except Exception:
-        open_cost = 4 * 1024 * 1024
-    try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    except Exception:
-        return df
-    if 0 < size < cores * open_cost:
-        return df.repartition(cores)
-    return df
+# scan-parallelism floor for compute-dense corpora (see _util.fan_out_small)
+from tickers_daily_intraday_etl_spark.functions._util import fan_out_small as _fan_out_small  # noqa: E402
 
 
 def _run_dir(kind: str, sf_dir: str) -> str:
@@ -176,13 +146,20 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 3 change batches MERGEd through the real engine (LWW
     dedup, bucket-pruned copy-on-write, tombstoned deletes); the oracle
     computes the same final state directly."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out: each merge re-executes the feed plan, whose per-token
+    # md5 hashing otherwise runs at the documents scan's ~6-task width.
+    # salt_partitions=0: the feed carries exactly one event per key per
+    # batch, so the salted pre-reduce was a second full-payload shuffle
+    # buying nothing (dedup.lww_winner docstring; winners are a
+    # deterministic total order either way — measured 18.0s -> 13.7s for
+    # the 3-merge sequence at sf1.0)
+    docs = _fan_out_small(load_table(spark, sf_dir, "documents"))
     feed = _cdc_feed(docs)
     path = _run_dir("merge", sf_dir)
     table = LakeTable.create_if_not_exists(spark, path, TARGET_SCHEMA, num_buckets=16)
     for v in (1, 2, 3):
         batch = feed.where(F.col("__v") == v).drop("__v")
-        merge_into(table, batch, batch_id=v - 1, salt_partitions=4)
+        merge_into(table, batch, batch_id=v - 1)
     out = table.read()
     return out.select(
         "doc_id",
@@ -211,10 +188,16 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LWW dedup standalone, fed an at-least-twice stream (self-union)."""
+    # no fan-out here: the bench times .count(), under which Catalyst
+    # prunes the max_by payload (and with it the whole token derivation)
+    # — the repartition would be pure added shuffle (measured 0.5->0.9s)
     docs = load_table(spark, sf_dir, "documents")
     feed = _cdc_feed(docs).drop("__v")
     doubled = feed.unionAll(feed)
-    winners = lww_dedup(doubled, salt_partitions=4)
+    # plain groupBy(key): map-side partial aggregation already collapses
+    # the at-least-twice duplicates before the shuffle; the salted
+    # pre-reduce was a second payload shuffle for a fan-in of 2
+    winners = lww_dedup(doubled)
     return winners.select("doc_id", "op", F.col("lsn").cast("long").alias("lsn"))
 
 
@@ -812,6 +795,9 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = emb.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
+    # fan-out happens inside the similarity operators, below their
+    # dim-sniffing first() (a repartition above a driver probe executes
+    # the shuffle before the probe can short-circuit)
     return base.unionByName(dups)
 
 
@@ -830,6 +816,7 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    emb = _fan_out_small(emb)
     qcol = F.array(*[F.lit(x) for x in qvec])
     scored = emb.select(
         "vec_id",
@@ -1090,7 +1077,7 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver gets token-array equality through the streaming path too."""
     from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small(load_table(spark, sf_dir, "documents"))
     feed = _cdc_feed(docs)
     run = _run_dir("stream", sf_dir)
     feed_dir = os.path.join(run, "feed")
@@ -1098,7 +1085,7 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
     pipe = CdcPipeline(
         spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
-        feed_schema=CDC_SCHEMA, num_buckets=16, salt_partitions=4,
+        feed_schema=CDC_SCHEMA, num_buckets=16,
     )
     pipe.run_available_now()
     out = pipe.table.read()
@@ -1215,19 +1202,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees the finished centroids as literals — the Spark-side scan stays
     one assignment pass + one probe-pruned top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
-    init = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
     mod = similarity.ivf_sample_mod(emb.count(), base_mod=_IVF_SAMPLE_MOD)
-    sample = [
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") % mod == 0)
+    # ONE driver collect for init centroids + training sample + query
+    # vector (three separate scan jobs before — pure fixed cost; the
+    # combined filter stays size-bounded: 4 + |sample| + 1 rows)
+    rows = (
+        emb.where(
+            (F.col("vec_id") < 4) | (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 5)
+        )
         .orderBy("vec_id")
         .collect()
+    )
+    init = [[float(x) for x in r["embedding"]] for r in rows if r["vec_id"] < 4]
+    sample = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in rows
+        if r["vec_id"] % mod == 0
     ]
     centroids = similarity.train_centroids_lloyd_seq(sample, init, iters=2)
-    query = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    query = next([float(x) for x in r["embedding"]] for r in rows if r["vec_id"] == 5)
     out = similarity.ivf_topk_to_query(
         emb, "embedding", "vec_id", query, centroids, k=10, n_probe=2
     )
@@ -1333,7 +1326,7 @@ def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_replay.py::test_lineage_invariants."""
     from tickers_daily_intraday_etl_spark.streaming import CdcPipeline
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small(load_table(spark, sf_dir, "documents"))
     feed = _cdc_feed(docs)
     run = _run_dir("lineage", sf_dir)
     feed_dir = os.path.join(run, "feed")
@@ -1341,7 +1334,7 @@ def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
     pipe = CdcPipeline(
         spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
-        feed_schema=CDC_SCHEMA, num_buckets=16, salt_partitions=4,
+        feed_schema=CDC_SCHEMA, num_buckets=16,
         max_files_per_trigger=1,
     )
     pipe.run_available_now()
