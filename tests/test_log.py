@@ -304,3 +304,50 @@ def test_lost_pointer_overwrite_race_is_survivable(tmp_path):
     cold = CommitLog(path, store=store)
     assert cold.snapshot().version == 100
     assert cold.snapshot().committed_batch_ids == list(range(101))
+
+
+def test_latest_version_recovers_when_pointer_missing_after_expiry(make_log):
+    """ADVICE r05: an expired log whose _last_checkpoint file is GONE
+    (lost overwrite at the first checkpoint, or a crash inside
+    expire_log before the round-6 repair-first ordering) must not read
+    as an empty table — the floor<0 branch takes the same one-LIST
+    recovery as the stale-pointer case."""
+    log = make_log()
+    _commit_n(log, 101)
+    log.expire_log(retain_checkpoints=2)  # floor 80; v0 long gone
+    log.store.delete("_last_checkpoint")
+
+    fresh = make_log()
+    assert fresh.latest_version() == 100
+    assert fresh.snapshot().version == 100
+    assert fresh.snapshot().committed_batch_ids == list(range(101))
+
+
+def test_expire_log_repairs_pointer_before_deleting(tmp_path):
+    """Crash-ordering guard: expire_log must overwrite a lagging pointer
+    BEFORE it starts deleting entries, so a crash mid-expiry can never
+    leave a dangling pointer over a deleted region.  Asserted by
+    ordering of storage ops, not by injecting a crash."""
+    path = str(tmp_path / "t")
+    log = CommitLog(path)
+    _commit_n(log, 101)
+    log.store.put_overwrite("_last_checkpoint", json.dumps({"version": 20}))
+
+    ops: list[tuple[str, str]] = []
+    orig_put, orig_del = log.store.put_overwrite, log.store.delete
+
+    def spy_put(name, data):
+        ops.append(("put", name))
+        return orig_put(name, data)
+
+    def spy_del(name):
+        ops.append(("delete", name))
+        return orig_del(name)
+
+    log.store.put_overwrite, log.store.delete = spy_put, spy_del
+    log.expire_log(retain_checkpoints=2)
+    first_delete = next(i for i, (op, _) in enumerate(ops) if op == "delete")
+    pointer_put = next(
+        i for i, (op, n) in enumerate(ops) if op == "put" and n == "_last_checkpoint"
+    )
+    assert pointer_put < first_delete

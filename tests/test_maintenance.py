@@ -165,3 +165,30 @@ def test_streaming_self_maintenance_bounds_log_and_orphans(spark, tmpdir_path):
     )
     got = sorted((r.doc_id, list(r.tokens)) for r in pipe.table.read().collect())
     assert got == exp
+
+
+def test_vacuum_window_clamps_to_expired_log_floor(spark, tmpdir_path):
+    """ADVICE r05 (medium): after expire_log, a vacuum whose
+    retain_last_n_versions window reaches below the log's retained floor
+    must skip the unreconstructible versions instead of raising
+    VersionNotRetained — the crash path was CdcPipeline.maintain_every <
+    retain_last_n_versions-1 around a checkpoint boundary."""
+    from tickers_daily_intraday_etl_spark.lake.log import CHECKPOINT_INTERVAL
+
+    t = _setup(spark, tmpdir_path, n_batches=1)
+    next_batch = 100
+    while (t.log.latest_version() or 0) < CHECKPOINT_INTERVAL + 2:
+        merge_into(
+            t,
+            spark.createDataFrame(
+                [_ev("U", "d0", 1000 + next_batch, [next_batch])], CDC_SCHEMA
+            ),
+            batch_id=next_batch,
+        )
+        next_batch += 1
+    t.log.expire_log(retain_checkpoints=1)  # floor = CHECKPOINT_INTERVAL
+    before = _state(t)
+    # window [latest-7, latest] dips below the floor — must not raise
+    res = vacuum(t, retain_last_n_versions=8, min_age_seconds=0)
+    assert res["deleted"] is True
+    assert _state(t) == before

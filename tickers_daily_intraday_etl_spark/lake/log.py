@@ -361,7 +361,24 @@ class CommitLog:
             # commits) and nothing observed — probe from v0; bounded by
             # the checkpoint interval since older tables have a pointer
             if not self.store.exists(self._entry_name(0)):
-                return None
+                # v0 missing can ALSO mean an expired log whose
+                # _last_checkpoint pointer is gone (lost overwrite race
+                # at the first checkpoint, or a crash inside expire_log):
+                # entries exist above the retained floor but nothing
+                # below.  Recover with the same one-LIST fallback the
+                # stale-pointer case uses before declaring the table
+                # empty.  (Genuinely empty logs pay one LIST of an empty
+                # dir here — create-time only, never the hot path.)
+                entries = [
+                    int(n[1:-5])
+                    for n in self.store.list_names()
+                    if n.startswith("v") and n.endswith(".json")
+                ]
+                if not entries:
+                    return None
+                v = max(entries)
+                self._latest_seen = v
+                return v
             floor = 0
         v = floor
         while self.store.exists(self._entry_name(v + 1)):
@@ -531,6 +548,21 @@ class CommitLog:
             return {"expired_entries": 0, "expired_checkpoints": 0}
         retained = ckpts[-retain_checkpoints:]
         floor = retained[0]
+        # Revalidate the pointer BEFORE deleting anything: it is a
+        # last-writer-wins HINT and can lag the newest checkpoint (crash
+        # between checkpoint publish and pointer overwrite, or a lost
+        # overwrite race).  Before expiry that only costs extra probes;
+        # AFTER expiry a pointer below the retained floor would strand
+        # fresh readers in the deleted region (entry and checkpoint both
+        # gone).  Repair-then-delete ordering means a crash ANYWHERE in
+        # this method leaves the pointer valid — the reverse order had a
+        # window (deletions done, repair pending) where a fresh reader
+        # saw a dangling pointer.
+        ptr = self._pointer_version()
+        if ptr is None or ptr < retained[-1]:
+            self.store.put_overwrite(
+                _LAST_CKPT_NAME, json.dumps({"version": retained[-1]})
+            )
         dropped_entries = 0
         for v in self.versions():
             if v < floor:
@@ -542,20 +574,6 @@ class CommitLog:
         # expired folds must not be served from memory either
         for v in [v for v in self._snap_cache if v < floor]:
             del self._snap_cache[v]
-        # Revalidate the pointer: it is a last-writer-wins HINT and can
-        # lag the newest checkpoint (crash between checkpoint publish
-        # and pointer overwrite, or a lost overwrite race).  Before
-        # expiry that only costs extra probes; AFTER expiry a pointer
-        # below the retained floor would strand fresh readers in the
-        # deleted region (entry and checkpoint both gone).  Advancing
-        # it to the newest retained checkpoint here restores the
-        # module's "a lost pointer race never costs correctness"
-        # contract under retention.
-        ptr = self._pointer_version()
-        if ptr is None or ptr < retained[-1]:
-            self.store.put_overwrite(
-                _LAST_CKPT_NAME, json.dumps({"version": retained[-1]})
-            )
         return {
             "expired_entries": dropped_entries,
             "expired_checkpoints": len(ckpts) - len(retained),

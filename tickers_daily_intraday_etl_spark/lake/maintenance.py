@@ -14,6 +14,7 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
+from tickers_daily_intraday_etl_spark.lake.log import VersionNotRetained
 from tickers_daily_intraday_etl_spark.lake.table import (
     BUCKET_COL,
     DELETED_COL,
@@ -140,7 +141,15 @@ def vacuum(
     keep_versions = range(max(0, latest - retain_last_n_versions + 1), latest + 1)
     referenced: set[str] = set()
     for v in keep_versions:
-        snap = table.log.snapshot(v)
+        try:
+            snap = table.log.snapshot(v)
+        except VersionNotRetained:
+            # the retention window can dip below the commit log's retained
+            # floor after expire_log (e.g. maintain_every <
+            # retain_last_n_versions-1 around a checkpoint boundary); a
+            # version that cannot be reconstructed cannot be time-traveled
+            # to either, so its exclusively-referenced files are fair game
+            continue
         referenced.update(snap.live_files.keys())
     data_root = os.path.join(table.path, "data")
     now = time.time()
