@@ -88,7 +88,11 @@ _DENSE_MIN_EST_ROWS = 10_000
 # Target rows per clustered-exchange partition: sorts of ~100k wide
 # rows stay in-memory (measured good at 62-100k; the collapse began at
 # ~1M rows/partition), while fewer partitions cut per-task fixed cost
-# (measured ~9% on 50k-row sustained micro-batches).
+# (measured ~9% on 50k-row sustained micro-batches).  Round 6 A/B'd the
+# round-5 "bulk -9%" suspect (this band vs fixed num_buckets vs a 50k
+# target, interleaved on the 2M-event bulk batch): identical-code
+# spread ±15% swamped every variant delta — noise verdict, band kept
+# (BENCH/drift_r06.md has the draws).
 _CLUSTER_TARGET_ROWS = 100_000
 
 

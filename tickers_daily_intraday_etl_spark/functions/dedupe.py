@@ -170,27 +170,29 @@ def ngram_jaccard_pairs(
     semantics are "Jaccard over non-ubiquitous shingles" — consistent on
     both sides of the ratio, and mirrored in the SQL oracle.
 
-    The exploded shingle relation feeds four plan branches (df-cap, both
-    self-join sides, sizes); BOTH the pre-cap and post-cap relations are
-    persisted MEMORY_AND_DISK: the pre-cap explode feeds the df-cap
-    aggregation AND the capped join's probe side (dropping that persist
-    re-runs the explode and measured 4.8s vs 3.6s at sf0.1), the
-    post-cap result feeds the remaining three branches.  Cache lifetime
-    is bounded to ONE generation per operator (_cache.py): a repeat call
-    releases the previous call's persists on entry, and callers can
-    ``release_caches()`` once results are materialized."""
+    The shingle relation feeds four plan branches (df-cap, both
+    self-join sides, sizes).  Persisted MEMORY_AND_DISK: the per-doc
+    shingle ARRAYS (one row per doc — an order of magnitude cheaper to
+    build into the columnar cache than the exploded relation, whose
+    920k-row string cache build cost ~4s at sf1.0) and the post-cap
+    exploded relation that the remaining three branches read; the
+    pre-cap explode is re-derived from the arrays cache per consumer
+    (explode from cache is cheap — it was the kernel+scan re-run that
+    hurt).  Cache lifetime is bounded to ONE generation per operator
+    (_cache.py): a repeat call releases the previous call's persists on
+    entry, and callers can ``release_caches()`` once results are
+    materialized."""
     from tickers_daily_intraday_etl_spark.functions._cache import (
         persist_tracked,
         release_previous,
     )
 
     release_previous("ngram_jaccard_pairs")
-    ex = persist_tracked(
+    arr = persist_tracked(
         "ngram_jaccard_pairs",
-        df.select(
-            F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
-        ),
+        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__shs")),
     )
+    ex = arr.select(F.col(id_col), F.explode(F.col("__shs")).alias("__sh"))
     if max_doc_freq is not None:
         rare = (
             ex.groupBy("__sh")

@@ -718,7 +718,7 @@ def _simhash_sql(bits: int = 32) -> str:
 
 @register("simhash_32", _simhash_sql())
 def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _fan_out_small(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return dedupe.simhash(docs, "text", "doc_id", bits=32)
 
 
@@ -726,7 +726,7 @@ def q_simhash_32(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit signatures — the scale configuration: the near-pair band key
     gets 16-bit pigeonhole chunks (65k values) instead of 8-bit (256)."""
-    docs = _fan_out_small(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return dedupe.simhash(docs, "text", "doc_id", bits=64)
 
 
