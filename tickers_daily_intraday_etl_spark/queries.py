@@ -20,6 +20,8 @@ import os
 import shutil
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,9 +89,26 @@ _SQL_TOKENS = (
 )
 
 
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _md5_token_ids(toks: pd.Series) -> pd.Series:
+    """md5-derived int32 id per token, as a vectorized kernel: the former
+    ``transform(toks, conv(substring(md5(t),1,7),16,10))`` Column chain
+    ran interpreted per element (~2.7M evaluations per feed batch at
+    sf1.0); hashlib over the JVM-tokenized array computes the identical
+    28-bit values (md5 is md5; hex-prefix parse is exact)."""
+    import hashlib as _h
+
+    def one(ts):
+        if ts is None:
+            return None
+        return [int(_h.md5(t.encode()).hexdigest()[:7], 16) for t in ts]
+
+    return toks.map(one)
+
+
 def _doc_tokens(col) -> F.Column:
     toks = F.filter(F.split(text.normalize_text(col), " "), lambda x: x != "")
-    return F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("int"))
+    return _md5_token_ids(toks)
 
 
 def _cdc_feed(docs: DataFrame) -> DataFrame:

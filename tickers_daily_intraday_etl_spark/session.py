@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,7 +74,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
+    _warm_python_workers(spark, cpus)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Spawn the executor Python-UDF workers once at session build (one
+    tiny Arrow-UDF job, one task per core).  Daemon workers fork lazily
+    on first use and each pays the pandas/pyarrow import (~2-4s wall for
+    a 32-worker wave), which otherwise lands inside whichever query
+    first evaluates a pandas UDF — session setup cost, not query cost.
+    Guarded so repeated get_spark() calls don't re-run the job."""
+    if getattr(spark, "_cdc_workers_warm", False):
+        return
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    try:
+        spark.range(cpus, numPartitions=cpus).select(_noop("id")).collect()
+    except Exception:
+        pass  # warm-up is best-effort; real queries spawn workers lazily
+    spark._cdc_workers_warm = True
 
 
 def build_pyfiles_zip() -> str:
