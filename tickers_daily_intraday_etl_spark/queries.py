@@ -1101,7 +1101,10 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = _run_dir("stream", sf_dir)
     feed_dir = os.path.join(run, "feed")
     for v in (1, 2, 3):
-        feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
+        # repartition(1), not coalesce(1): coalesce folds the token
+        # kernel into the single writer task; the shuffle keeps the
+        # map side at scan width and still writes one segment file
+        feed.where(F.col("__v") == v).drop("__v").repartition(1).write.mode("append").parquet(feed_dir)
     pipe = CdcPipeline(
         spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
         feed_schema=CDC_SCHEMA, num_buckets=16,
@@ -1350,7 +1353,10 @@ def q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = _run_dir("lineage", sf_dir)
     feed_dir = os.path.join(run, "feed")
     for v in (1, 2, 3):
-        feed.where(F.col("__v") == v).drop("__v").coalesce(1).write.mode("append").parquet(feed_dir)
+        # repartition(1), not coalesce(1): coalesce folds the token
+        # kernel into the single writer task; the shuffle keeps the
+        # map side at scan width and still writes one segment file
+        feed.where(F.col("__v") == v).drop("__v").repartition(1).write.mode("append").parquet(feed_dir)
     pipe = CdcPipeline(
         spark, feed_dir, os.path.join(run, "table"), os.path.join(run, "ckpt"),
         feed_schema=CDC_SCHEMA, num_buckets=16,
