@@ -28,7 +28,14 @@ def fan_out_small(df: DataFrame) -> DataFrame:
     compute-dense map work but ABOVE nothing a driver action touches —
     ``first()``/``collect()`` probes and count()-pruned paths execute
     the repartition for no benefit (ann_lsh_topk regressed 1.5s -> 2.2s
-    with the fan-out above its dim-sniffing ``first()``)."""
+    with the fan-out above its dim-sniffing ``first()``).
+
+    Lower bound: below ~64 KB/core the whole input is a fraction of a
+    second of single-task work and the shuffle round-trip dominates —
+    interleaved A/B at sf0.1 (~0.5-1.3 MB inputs) measured every
+    fanned query 0.1-0.6s SLOWER than unfanned, while sf1.0 (~5-10 MB)
+    gains 2-10x.  Both bounds scale with the core count, so the window
+    tracks the session size instead of hard-coding either test scale."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     try:
@@ -39,6 +46,6 @@ def fan_out_small(df: DataFrame) -> DataFrame:
         size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         return df
-    if 0 < size < cores * open_cost:
+    if cores * 65536 < size < cores * open_cost:
         return df.repartition(cores)
     return df
