@@ -410,41 +410,64 @@ def _cc_loop(E: DataFrame, rounds: int, converged: bool, max_iters: int):
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """SimHash over whitespace tokens with the oracle-parity token hash.
+_SIMHASH_UDFS: dict = {}
 
-    Bit b of the signature is the sign of sum over tokens of
-    (+1 if bit b of hex_hash64(token) else -1).  Implemented as one
-    explode + one groupBy with ``bits`` conditional-sum aggregates —
-    a single shuffle, fully JVM-side.
+
+def _simhash_udf(bits: int):
+    """Per-document SimHash kernel: bit b of the signature is the sign of
+    sum over tokens of (+1 if bit b of hex_hash64('simhash', token) else
+    -1).  All-integer math — hashlib md5 produces the identical 60-bit
+    token hashes as the JVM/DuckDB parity form, and the ±1 tallies are
+    exact in any summation order — so values are bit-identical to the
+    former explode + groupBy with ``bits`` conditional-sum aggregates,
+    minus that plan's shuffle and 64-aggregate partial-agg machinery
+    (guide §2.4/§4.2).  Signature bits above 59 are structurally 0 (the
+    token hash carries 60 random bits), so the value fits a signed long
+    at any ``bits`` <= 64."""
+    if bits in _SIMHASH_UDFS:
+        return _SIMHASH_UDFS[bits]
+
+    @F.pandas_udf("long")
+    def kernel(tok: pd.Series) -> pd.Series:
+        import hashlib as _h
+
+        import numpy as _np
+
+        shifts = _np.arange(bits, dtype=_np.uint64)
+
+        def one(ts):
+            hs = _np.array(
+                [
+                    int(_h.md5(b"simhash:" + t.encode()).hexdigest()[:15], 16)
+                    for t in ts
+                ],
+                dtype=_np.uint64,
+            )
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)  # exact ints
+            # count_b = ones - (n - ones); positive iff 2*ones > n
+            sig_bits = (2 * ones > len(ts)).astype(_np.uint64)
+            return int((sig_bits << shifts).sum())
+
+        return tok.map(one)
+
+    _SIMHASH_UDFS[bits] = kernel
+    return kernel
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """SimHash over whitespace tokens with the oracle-parity token hash —
+    a pure per-row map (no explode, no shuffle; see ``_simhash_udf``).
+    Documents with zero tokens are absent, matching the former
+    explode+groupBy contract.
 
     Default is 64-bit: the banded near-pair join's keyspace grows with
     signature width (see ``simhash_near_pairs``), and 32-bit signatures
     make its pigeonhole chunks only 8 bits — a 256-value join key that
-    goes quadratic at web-corpus scale.  The token hash
-    (``hex_hash64``) carries 60 random bits, so signature bits 60..63
-    are structurally 0 — harmless for Hamming distances, and both
-    engines (Spark ``shiftleft`` on long / DuckDB HUGEINT-sum-to-BIGINT
-    cast) agree on the reconstruction."""
-    ex = df.select(
-        F.col(id_col),
-        F.explode(ws_tokens(normalize_text(F.col(text_col)))).alias("__tok"),
-    ).withColumn("__h", hex_hash64(F.col("__tok"), seed="simhash"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
-        for b in range(bits)
-    ]
-    summed = ex.groupBy(id_col).agg(*aggs)
-    sig = None
-    for b in range(bits):
-        # shiftleft, not a Python literal: 1 << 63 overflows LongType
-        term = F.when(
-            F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return summed.select(F.col(id_col), sig.alias("simhash"))
+    goes quadratic at web-corpus scale."""
+    base = df.select(
+        F.col(id_col), ws_tokens(normalize_text(F.col(text_col))).alias("__toks")
+    ).where(F.size(F.col("__toks")) > 0)
+    return base.select(F.col(id_col), _simhash_udf(bits)(F.col("__toks")).alias("simhash"))
 
 
 def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 64) -> DataFrame:

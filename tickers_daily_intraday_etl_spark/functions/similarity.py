@@ -73,6 +73,7 @@ def hyperplane_lsh_bucket(vec_col, hyperplanes: list[list[float]]) -> F.Column:
             def one(v):
                 if v is None:
                     return 0
+                v = v.tolist() if hasattr(v, "tolist") else v  # np scalars 2x slower
                 b = 0
                 for i, h in enumerate(planes):
                     s = 0.0
@@ -276,11 +277,11 @@ def ann_multitable_pairs(
 def _seq_dot(a: list[float], b: list[float]) -> float:
     """Sequential left-to-right double dot product — bit-identical to both
     the Spark ``aggregate`` fold and DuckDB's ``list_dot_product``, so
-    driver-side probe selection agrees with an SQL oracle exactly."""
-    s = 0.0
-    for x, y in zip(a, b):
-        s += x * y
-    return s
+    driver-side probe selection agrees with an SQL oracle exactly.
+    ``sum()`` IS that fold (0 + x0*y0 promotes exactly to x0*y0, then
+    left-to-right float adds) at C speed instead of bytecode speed —
+    the driver-side Lloyd training is a few million of these."""
+    return sum(map(lambda xy: xy[0] * xy[1], zip(a, b)))
 
 
 IVF_SAMPLE_CAP = 2048  # upper bound on driver-collected training rows
@@ -320,11 +321,15 @@ def train_centroids_lloyd_seq(
 
     for _ in range(iters):
         assign: dict[int, list] = {}
+        # centroid norms are loop-invariant within an iteration — hoisting
+        # them drops |sample| * K redundant 64-term folds per iteration
+        # (identical values, so the assignment arithmetic is unchanged)
+        cnorms = [math.sqrt(_seq_dot(c, c)) for c in centroids]
         for _vid, e in sample:
             best, best_s = 0, None
             en = math.sqrt(_seq_dot(e, e))
             for ci, c in enumerate(centroids):
-                denom = en * math.sqrt(_seq_dot(c, c))
+                denom = en * cnorms[ci]
                 s = _seq_dot(e, c) / denom if denom else float("-inf")
                 if best_s is None or s > best_s:
                     best, best_s = ci, s
@@ -416,6 +421,7 @@ def ivf_topk_to_query(
         def one(v):
             if v is None:
                 return 0
+            v = v.tolist() if hasattr(v, "tolist") else v  # np scalars 2x slower
             en = _m.sqrt(_seq_dot(v, v))
             best, best_s = 0, None
             for ci, c in enumerate(cents):
