@@ -352,7 +352,16 @@ def _cc_loop(E: DataFrame, rounds: int, converged: bool, max_iters: int):
             break
         rounds += 1
         # ---- large-star ----
-        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # One explicit repartition on the star root serves BOTH the
+        # groupBy-min (clustering satisfied, aggregate exchange elided —
+        # the same Catalyst property the merge path's clustered LWW
+        # exploits) and the min-attach join (both sides inherit the same
+        # HashPartitioning, so the join plans no exchange of its own):
+        # the edge set crosses the wire once per star instead of twice —
+        # 5 exchanges/round -> 3 (guide §2.4 "share one exchange").
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v"))).repartition(
+            F.col("u")
+        )
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         # no distinct here: the small-star groupBy dedups its min
         # contributions anyway, and the duplicate (b, m) join rows fold
@@ -367,7 +376,7 @@ def _cc_loop(E: DataFrame, rounds: int, converged: bool, max_iters: int):
         oriented = large.select(
             F.greatest(F.col("u"), F.col("v")).alias("a"),
             F.least(F.col("u"), F.col("v")).alias("b"),
-        )
+        ).repartition(F.col("a"))
         mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
         S_raw = (
             oriented.join(mins2, "a")
