@@ -450,3 +450,70 @@ def test_ivf_sample_mod_bounds_driver_sample():
     import math
     for n in (175, 2000, 14336, 14337, 999_999, 10**9):
         assert ivf_sample_mod(n) == max(7, math.ceil(n / IVF_SAMPLE_CAP))
+
+
+def test_fan_out_small_window_bounds(spark):
+    """fan_out_small (round 6) must plan a repartition ONLY inside its
+    size window — both bounds scale with the core count: tiny inputs
+    (< 64KB/core) and large inputs (> openCost/core) pass through
+    untouched, so at production scale the helper plans nothing."""
+    from tickers_daily_intraday_etl_spark.functions._util import fan_out_small
+    from tickers_daily_intraday_etl_spark import plans
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def has_roundrobin(df):
+        return "roundrobin" in plans.explain_str(df).lower()
+
+    tiny = spark.range(100)  # est 800 bytes << 64KB/core
+    assert not has_roundrobin(fan_out_small(tiny))
+    # est = 8 bytes/row: pick a row count inside (cores*64KB, cores*4MB)
+    mid = spark.range(cores * 32 * 1024)  # cores * 256KB
+    assert has_roundrobin(fan_out_small(mid))
+    big = spark.range(cores * 1024 * 1024)  # cores * 8MB > cores * 4MB cap
+    assert not has_roundrobin(fan_out_small(big))
+
+
+def test_connected_components_restores_shuffle_partitions(spark):
+    """The CC loop's edge-count-sized shuffle-width override (round 6)
+    must restore the session setting afterwards — including when the
+    loop raises (non-convergence)."""
+    from pyspark.sql import functions as F
+
+    from tickers_daily_intraday_etl_spark.functions.dedupe import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs, "doc_id").collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    assert spark.conf.get(key) == before
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        # a triangle needs >= 1 round; max_iters=0 must raise AND restore
+        connected_components(nodes, pairs, "doc_id", max_iters=0)
+    assert spark.conf.get(key) == before
+
+
+def test_word_shingles_null_and_order(spark):
+    """The round-6 pandas shingle kernel must keep the Column version's
+    contract: NULL text -> empty array (not NULL), first-occurrence
+    dedup order, k parameterization."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, None), (3, "x y"), (4, "p q p q")],
+        "doc_id long, t string",
+    )
+    rows = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", dedupe.word_shingles(F.col("t"), 2).alias("s")).collect()
+    }
+    assert rows[1] == ["a b", "b a"]  # distinct, first-occurrence order
+    assert rows[2] == []  # NULL text -> empty array, matching the old when/otherwise
+    assert rows[3] == ["x y"]
+    assert rows[4] == ["p q", "q p"]
